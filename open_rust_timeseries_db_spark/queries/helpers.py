@@ -1,0 +1,53 @@
+"""Shared builders enforcing the determinism conventions of the registry."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_rust_timeseries_db_spark.queries.registry import DEC
+from open_rust_timeseries_db_spark.sources.catalog import load_table
+
+
+def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts_us`` (epoch-µs long) added.
+
+    Spark reads events.ts as epoch-nanos (lossless); DuckDB truncates the
+    same parquet to µs at read. ``ts div 1000`` floor-truncates nanos so
+    both engines operate on the identical integer µs value.
+    """
+    return load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-insensitive double sum: exact DECIMAL accumulation.
+
+    IEEE double addition is order-sensitive, and Spark's partition order
+    differs from DuckDB's scan order; summing in decimal is exact, so the
+    final double is bit-identical in both engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(col: Column | str, digits: int = 6) -> Column:
+    """Order-insensitive average, rounded: sum(decimal)/count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast(DEC)).cast("double") / F.count(c), digits
+    )
+
+
+# DuckDB-side fragments mirroring the helpers above (kept adjacent so the
+# two dialects evolve together).
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str, digits: int = 6) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / COUNT({expr}), {digits})"
+    )

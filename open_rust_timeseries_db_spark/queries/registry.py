@@ -1,0 +1,78 @@
+"""Query registry: every engine capability as an oracle-checkable query.
+
+Each :class:`QuerySpec` pairs a Spark DataFrame implementation with the
+equivalent DuckDB SQL (the correctness oracle). The driver compares the
+two at sf0.01 by row count + schema + order-insensitive value hash, so
+the registry enforces this repo's determinism conventions:
+
+- double aggregates go through exact DECIMAL accumulation, then cast to
+  double and round — bit-identical regardless of partition/accumulation
+  order in either engine (IEEE double summation is order-sensitive;
+  decimal summation is not);
+- no wall-clock: "now" is the pinned literal :data:`FIXED_NOW_US`;
+- events.ts (epoch nanos in Spark, µs-truncated timestamp in DuckDB) is
+  normalized to epoch-µs longs on both sides before any use;
+- ordered/limited queries carry total tie-break keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# 2024-02-01 00:00:00 UTC in epoch-µs: the pinned "now" for event-lag
+# queries (the reference computes now-ts per record, reference
+# src/tests/integration_test.rs:261-268; a fixed literal keeps the
+# oracle deterministic).
+FIXED_NOW_US = 1_706_745_600_000_000
+
+# Exact accumulator type used for all double-sum aggregates.
+DEC = "decimal(38,6)"
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a (spark_fn, oracle_sql) pair under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    """Import all query modules and return the full registry."""
+    # Imports deferred so registry population is explicit and one-shot.
+    from open_rust_timeseries_db_spark.queries import (  # noqa: F401
+        dedup,
+        multimodal,
+        parity,
+        relational,
+        similarity,
+        text,
+    )
+
+    return REGISTRY

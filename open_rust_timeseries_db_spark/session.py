@@ -1,0 +1,76 @@
+"""SparkSession factory tuned for this engine.
+
+The session is configured for correctness-stable, scale-aware execution:
+AQE on (runtime join re-planning + skew handling), Arrow on (all our
+Python UDFs are pandas UDFs), UTC session time, and nanosecond parquet
+timestamps surfaced as epoch-nano longs (Spark has no ns-precision
+timestamp; the reference's native unit is nanoseconds, reference
+src/tests/integration_test.rs:169-173).
+
+``tune_session`` is idempotent and safe to call on an externally-created
+session (the verification driver builds its own); it only sets runtime
+SQL confs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to any session we touch.
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata events.ts is parquet TIMESTAMP(NANOS); Spark would refuse
+    # the scan otherwise. Read as epoch-nanos LongType (lossless).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+    # splitting, and dynamic broadcast conversion — the levers that keep
+    # the same plan viable from sf0.001 to 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # All Python execution in this engine is Arrow-vectorized.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic wall-time semantics for tests/oracles.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply this engine's runtime confs to an existing session."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A conf may be static on some builds; never fail the caller.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "open_rust_timeseries_db_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or fetch) a local session sized from the environment.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default all cores).
+    Shuffle partitions default to the core count — right-sized for local
+    benchmarking; on a real cluster this is AQE-coalesced anyway.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return tune_session(builder.getOrCreate())

@@ -1,0 +1,116 @@
+"""Simulate the verification driver against __spark_entry__.py.
+
+Mirrors the driver contract end-to-end: a VANILLA SparkSession (none of
+this package's tuned confs), entry() smoke at sf0.001, then every
+queries() entry vs its oracle_sql() on DuckDB at sf0.01 with an
+order-insensitive value-hash compare (columns sorted by name, rows
+sorted, values stringified, sha256).
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as contract  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"
+        return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+        seq = v.tolist() if hasattr(v, "tolist") else list(v)
+        return "[" + ",".join(norm_cell(x) for x in seq) + "]"
+    return str(v)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    body = df[cols].map(norm_cell)
+    rows = sorted(body.itertuples(index=False, name=None))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    # Vanilla session — deliberately NOT our get_spark(); the driver
+    # builds its own. Queries must self-provision runtime confs.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    rows = contract.entry(spark).collect()
+    print(f"[smoke] entry() -> {len(rows)} rows; first: {rows[0] if rows else None}")
+    assert len(rows) > 0
+
+    qs, oracles = contract.queries(), contract.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            got = fn(spark, SF_DIR).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"[FAIL] {name}: spark raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(got)} rows in {dt:.2f}s")
+            n_pass += 1
+            continue
+        want = con.sql(oracles[name]).df()
+        ok_rows = len(got) == len(want)
+        ok_cols = sorted(got.columns) == sorted(want.columns)
+        ok_hash = ok_rows and ok_cols and value_hash(got) == value_hash(want)
+        status = "PASS" if ok_hash else "FAIL"
+        print(
+            f"[{status}] {name}: rows {len(got)}/{len(want)} cols_ok={ok_cols} "
+            f"hash_ok={ok_hash} ({dt:.2f}s)"
+        )
+        n_pass += ok_hash
+        n_fail += not ok_hash
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
