@@ -1,0 +1,60 @@
+"""Percentile operators: exact nearest-rank (reference semantics) + approx.
+
+The reference computes percentiles by sorting all samples in memory and
+indexing at round(p * (n-1)) (reference src/tests/integration_test.rs:
+359-364). ``nearest_rank_percentiles`` reproduces that exactly and
+deterministically; ``approx_percentiles`` is the 100 TB path (t-digest
+via percentile_approx: one pass, mergeable sketches, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def nearest_rank_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: list[tuple[str, float]],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """One-row frame of exact nearest-rank percentiles of ``value_col``.
+
+    Scale note: requires a total order over the column — a single-task
+    sort of N rows. Exactness is only needed for oracle parity; use
+    :func:`approx_percentiles` beyond memory scale.
+    """
+    order = [F.col(value_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.orderBy(*order)
+    ranked = df.select(
+        F.col(value_col),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("__rn")
+                == F.round(F.lit(p) * (F.col("__n") - 1)).cast("bigint") + 1,
+                F.col(value_col),
+            )
+        ).alias(name)
+        for name, p in percentiles
+    ]
+    return ranked.agg(*aggs)
+
+
+def approx_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: list[tuple[str, float]],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-based percentiles: single pass, mergeable, cluster-scale."""
+    pcts = F.array(*[F.lit(p) for _, p in percentiles])
+    arr = F.percentile_approx(value_col, pcts, F.lit(accuracy)).alias("__pcts")
+    out = df.agg(arr)
+    return out.select(
+        *[F.element_at("__pcts", i + 1).alias(name) for i, (name, _) in enumerate(percentiles)]
+    )
