@@ -1,0 +1,57 @@
+"""Text-analysis functions for the documents pipeline (SURVEY.md §2.4).
+
+All pure Spark column expressions (codegen'd, no Python): tokenization,
+shingling, language-marker scoring, fingerprinting. These feed the
+LLM-data-pipeline queries in queries/text.py and queries/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword-marker lists for the n-gram-free language-ID heuristic: the
+# guess is argmax over marker-hit counts with deterministic precedence
+# (en > de > es > fr > unknown on ties).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "mit"),
+    "es": ("el", "la", "de", "que", "los", "una", "con"),
+    "fr": ("le", "la", "les", "et", "un", "une", "dans"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "and", "of", "to", "in", "is", "a", "for", "on", "with",
+)
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (documents are single-space separated)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda t: t != F.lit(""))
+
+
+def marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens that are in the marker set -> BIGINT."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-word shingles of a token array (space-joined strings).
+
+    Built with transform over indices — stays JVM-side, no explode until
+    the caller chooses to.
+    """
+    k = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical-form document fingerprint: md5 of lower(trimmed text)
+    with whitespace collapsed. Identical hex in Spark and DuckDB."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))

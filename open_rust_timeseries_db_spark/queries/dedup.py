@@ -1,1 +1,196 @@
-"""Placeholder — populated in this round's later milestones."""
+"""Deduplication queries over ``documents`` / ``embeddings`` —
+driver-mandated LLM-pipeline operators (SURVEY.md §2.4): exact dedup,
+MinHash-LSH near-dup, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Oracle strategy: everything whose hash functions both engines share
+(md5) or that is pure integer/set arithmetic is oracle-checked; the
+MinHash pipeline uses xxhash64 (JVM-only) and is rows-only checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_rust_timeseries_db_spark.functions.vectors import cosine_fx, sql_fx_sum
+from open_rust_timeseries_db_spark.operators.dedupe import (
+    exact_jaccard,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_pairs,
+    simhash_signatures,
+)
+from open_rust_timeseries_db_spark.queries.registry import query
+from open_rust_timeseries_db_spark.sources.catalog import load_table
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    doc="Exact text dedup: one survivor (min doc_id) per distinct text + "
+    "multiplicity. One hash-agg shuffle keyed by the full text; at "
+    "100 TB group by md5(text) instead so the shuffle key is 16 bytes, "
+    "not the document (see q_fingerprint).",
+    tags=("dedup", "exact"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+@query(
+    "q_dedup_near",
+    None,  # xxhash64 signatures are JVM-only -> rows-only driver check
+    doc="MinHash-LSH near-dup pipeline: 3-word shingles -> 16 xxhash64 "
+    "min-hash permutations -> 4-band bucket join -> candidate pairs -> "
+    "exact-Jaccard verification (>= 0.5). Linear-ish in corpus size: "
+    "only docs sharing a band bucket are paired. Rows-only check "
+    "(signatures use JVM xxhash64); the Jaccard verifier itself is "
+    "oracle-checked separately as q_ngram_jaccard.",
+    tags=("dedup", "minhash", "rows-only"),
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    verified = exact_jaccard(docs, pairs)
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        "a", "b", "n_inter", "jaccard"
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok,
+             generate_subscripts({_SQL_TOKS}, 1) AS i
+      FROM documents
+    ), shingles AS (
+      SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+      FROM toks t1
+      JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+      JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS n_inter
+      FROM shingles sa JOIN shingles sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, n_inter,
+           na.n_sh AS n_a, nb.n_sh AS n_b,
+           CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = a
+    JOIN sizes nb ON nb.doc_id = b
+    WHERE n_inter >= 2
+    """,
+    doc="Exact 3-shingle Jaccard for every pair sharing >= 2 shingles — "
+    "the shingle join IS the candidate generator (no N^2): docs with no "
+    "common shingle never meet. Integer set arithmetic -> deterministic "
+    "double ratio.",
+    tags=("dedup", "jaccard"),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    all_pairs = exact_jaccard(docs, pairs=None)  # pair source = shingle join
+    return all_pairs.filter(F.col("n_inter") >= 2).select(
+        "a", "b", "n_inter", "n_a", "n_b", "jaccard"
+    )
+
+
+@query(
+    "q_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ), hashes AS (
+      SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+    ), votes AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashes, (SELECT unnest(generate_series(0, 31)) AS j)
+      GROUP BY doc_id, j
+    ), sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS sig
+      FROM votes GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, sig, k, (sig >> (8 * k)) & 255 AS byte
+      FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS k)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id
+    )
+    SELECT a, b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+    doc="SimHash near-dup: 32-bit bitwise-majority signature over "
+    "md5-derived token hashes, byte-band blocking (4 bands -> perfect "
+    "recall at Hamming <= 3). md5 is shared by both engines, so the "
+    "whole pipeline — signatures, blocking, Hamming — is oracle-checked "
+    "bit-for-bit.",
+    tags=("dedup", "simhash"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    return simhash_pairs(sigs, max_hamming=3)
+
+
+@query(
+    "q_embedding_neardup",
+    f"""
+    WITH elems AS (
+      SELECT vec_id, label, unnest(embedding) AS e,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id, {sql_fx_sum("CAST(e AS DOUBLE) * CAST(e AS DOUBLE)")} AS n2
+      FROM elems GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+             {sql_fx_sum("CAST(a.e AS DOUBLE) * CAST(b.e AS DOUBLE)")} AS dot
+      FROM elems a
+      JOIN elems b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT va AS vec_a, vb AS vec_b, label,
+           (d.dot / 1e12) / (SQRT(na.n2 / 1e12) * SQRT(nb.n2 / 1e12)) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.va
+    JOIN norms nb ON nb.vec_id = d.vb
+    WHERE (d.dot / 1e12) / (SQRT(na.n2 / 1e12) * SQRT(nb.n2 / 1e12)) >= 0.4
+    """,
+    doc="Embedding-cosine near-dup with label blocking (the stand-in for "
+    "an LSH/IVF bucket at scale): same-label pairs with fixed-point "
+    "cosine >= 0.4. The block join bounds pair count; never materializes "
+    "N^2.",
+    tags=("dedup", "embedding"),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("emb_b")
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_fx("emb_a", "emb_b")
+    return (
+        pairs.select("vec_a", "vec_b", "label", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )

@@ -32,12 +32,16 @@ def dsum(col: Column | str) -> Column:
     return F.sum(c.cast(DEC)).cast("double")
 
 
-def davg(col: Column | str, digits: int = 6) -> Column:
-    """Order-insensitive average, rounded: sum(decimal)/count."""
+def davg(col: Column | str) -> Column:
+    """Order-insensitive average: exact sum(decimal) -> double / count.
+
+    NOT rounded: identical operands + identical IEEE ops give the same
+    double in both engines. Rounding would *add* risk — dyadic doubles
+    land exactly on .5 ties where Spark rounds HALF_UP and DuckDB
+    HALF_EVEN (e.g. a rate of exactly 1/128 = 0.0078125).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast(DEC)).cast("double") / F.count(c), digits
-    )
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
 
 
 # DuckDB-side fragments mirroring the helpers above (kept adjacent so the
@@ -46,8 +50,8 @@ def sql_dsum(expr: str) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
 
 
-def sql_davg(expr: str, digits: int = 6) -> str:
+def sql_davg(expr: str) -> str:
     return (
-        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
-        f" / COUNT({expr}), {digits})"
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / COUNT({expr})"
     )

@@ -39,10 +39,8 @@ TS_US = "epoch_us(ts)"
     SELECT user_id,
            COUNT(*) AS n_trades,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_qty,
-           ROUND(
-             {sql_dsum("value * CAST(json_extract_string(props, '$.k') AS BIGINT)")}
-             / NULLIF(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0), 6
-           ) AS vwap
+           {sql_dsum("value * CAST(json_extract_string(props, '$.k') AS BIGINT)")}
+             / NULLIF(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS vwap
     FROM events
     GROUP BY user_id
     """,
@@ -61,10 +59,9 @@ def q_vwap_by_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_trades"),
             F.sum("qty").alias("sum_qty"),
-            F.round(
+            (
                 dsum(F.col("value") * F.col("qty"))
-                / F.nullif(F.sum("qty"), F.lit(0)),
-                6,
+                / F.nullif(F.sum("qty"), F.lit(0))
             ).alias("vwap"),
         )
     )
@@ -78,7 +75,7 @@ def q_vwap_by_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN({FIXED_NOW_US} - {TS_US}) AS min_lag_us,
            MAX({FIXED_NOW_US} - {TS_US}) AS max_lag_us,
            CAST(SUM({FIXED_NOW_US} - {TS_US}) AS BIGINT) AS total_lag_us,
-           ROUND(CAST(SUM({FIXED_NOW_US} - {TS_US}) AS DOUBLE) / COUNT(*), 6) AS avg_lag_us
+           CAST(SUM({FIXED_NOW_US} - {TS_US}) AS DOUBLE) / COUNT(*) AS avg_lag_us
     FROM events
     GROUP BY event_type
     """,
@@ -100,9 +97,7 @@ def q_latency_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("lag_us").alias("min_lag_us"),
             F.max("lag_us").alias("max_lag_us"),
             F.sum("lag_us").alias("total_lag_us"),
-            F.round(F.sum("lag_us").cast("double") / F.count(F.lit(1)), 6).alias(
-                "avg_lag_us"
-            ),
+            (F.sum("lag_us").cast("double") / F.count(F.lit(1))).alias("avg_lag_us"),
         )
     )
 
@@ -206,7 +201,7 @@ def q_event_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT ({TS_US} - {TS_US} % 3600000000) AS hour_us,
            COUNT(*) AS n_events,
-           ROUND(COUNT(*) / 3600.0, 6) AS events_per_sec,
+           COUNT(*) / 3600.0 AS events_per_sec,
            {sql_dsum("value")} AS sum_value
     FROM events
     GROUP BY 1
@@ -227,7 +222,7 @@ def q_throughput_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_us")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.count(F.lit(1)) / F.lit(3600.0), 6).alias("events_per_sec"),
+            (F.count(F.lit(1)) / F.lit(3600.0)).alias("events_per_sec"),
             dsum("value").alias("sum_value"),
         )
     )
@@ -257,7 +252,7 @@ def q_modulo_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_total,
            COUNT(CASE WHEN value > 150 THEN 1 END) AS n_flagged,
-           ROUND(CAST(COUNT(CASE WHEN value > 150 THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS flag_rate
+           CAST(COUNT(CASE WHEN value > 150 THEN 1 END) AS DOUBLE) / COUNT(*) AS flag_rate
     FROM events GROUP BY event_type
     """,
     doc="Conditional count + rate — the reference's dropped-message "
@@ -272,7 +267,7 @@ def q_conditional_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_total"),
         flagged.alias("n_flagged"),
-        F.round(flagged.cast("double") / F.count(F.lit(1)), 6).alias("flag_rate"),
+        (flagged.cast("double") / F.count(F.lit(1))).alias("flag_rate"),
     )
 
 

@@ -244,9 +244,8 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_moving_avg",
     f"""
     SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-           ROUND(
-             CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
-             / COUNT(*) OVER w, 6) AS mov_avg
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS mov_avg
     FROM events
     WINDOW w AS (
       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
@@ -271,10 +270,9 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts_us",
-        F.round(
+        (
             F.sum(F.col("value").cast(DEC)).over(w).cast("double")
-            / F.count(F.lit(1)).over(w),
-            6,
+            / F.count(F.lit(1)).over(w)
         ).alias("mov_avg"),
     )
 
@@ -311,7 +309,7 @@ def q_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_lag_delta",
     """
     SELECT event_id, user_id,
-           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 2) AS delta
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta
     FROM events
     """,
     doc="Per-key first difference via LAG — tick-to-tick price delta, the "
@@ -325,7 +323,7 @@ def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
     )
 
 
@@ -413,7 +411,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT e.vec_id,
            CAST(LEN(e.embedding) AS BIGINT) AS dim,
-           ROUND(CAST(e.embedding[1] AS DOUBLE), 6) AS first_val,
+           CAST(e.embedding[1] AS DOUBLE) AS first_val,
            s.l1_norm, s.l2_norm
     FROM embeddings e
     JOIN (
@@ -456,7 +454,7 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
         l1.alias("l1_norm"),
         l2.alias("l2_norm"),
     )

@@ -1,1 +1,191 @@
-"""Placeholder — populated in this round's later milestones."""
+"""Text-analysis queries over ``documents`` — the LLM-data-pipeline
+surface mandated beyond the reference (SURVEY.md §2.4): token analytics,
+language ID, quality scoring, fingerprinting.
+
+All implementations are pure column expressions from functions/text.py
+(whole-stage codegen; the only shuffles are the final small aggregations)
+— at 100 TB these run as narrow per-document passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_rust_timeseries_db_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    marker_hits,
+    tokens,
+)
+from open_rust_timeseries_db_spark.queries.registry import query
+from open_rust_timeseries_db_spark.sources.catalog import load_table
+
+# DuckDB fragment: non-empty whitespace tokens of ``text``.
+_SQL_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def _sql_in_list(items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in items)
+
+
+@query(
+    "q_token_counts",
+    f"""
+    SELECT tok AS word, COUNT(*) AS n
+    FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, word
+    LIMIT 50
+    """,
+    doc="Corpus token frequency, top-50 with total tie-break order. "
+    "Scale: explode -> hash-agg is one shuffle keyed by word; at 100 TB "
+    "add a map-side partial topK or count-min sketch before the shuffle "
+    "for heavy hitters.",
+    tags=("text", "tokens"),
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(50)
+    )
+
+
+_LANG_CASE_SQL = """
+    CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+         WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+         WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+         WHEN fr_hits > 0 THEN 'fr'
+         ELSE 'unknown' END
+"""
+
+
+@query(
+    "q_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"CAST(len(list_filter({_SQL_TOKS}, t -> t IN ({_sql_in_list(m)}))) AS BIGINT) AS {lang}_hits"
+                 for lang, m in LANG_MARKERS.items()
+             )}
+      FROM documents
+    )
+    SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+           {_LANG_CASE_SQL} AS guess
+    FROM scored
+    """,
+    doc="Marker-stopword language ID: per-language hit counts + argmax "
+    "guess with deterministic tie precedence. Narrow pass, no shuffle — "
+    "the shape a 100 TB lang-filter step needs.",
+    tags=("text", "langid"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        *[
+            marker_hits(toks, markers).alias(f"{lang}_hits")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    en, de, es, fr = [F.col(f"{x}_hits") for x in ("en", "de", "es", "fr")]
+    guess = (
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
+        .when((de >= es) & (de >= fr) & (de > 0), "de")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    )
+    return scored.select(
+        "doc_id", "en_hits", "de_hits", "es_hits", "fr_hits", guess.alias("guess")
+    )
+
+
+@query(
+    "q_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct({_SQL_TOKS})) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter({_SQL_TOKS}, t -> t IN ({_sql_in_list(STOPWORDS)}))) AS BIGINT) AS stop_hits,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_distinct, stop_hits,
+           CAST(n_letters AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+           0.3 * least(1.0, n_tokens / 100.0)
+             + 0.4 * (1.0 - CAST(stop_hits AS DOUBLE) / n_tokens)
+             + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens) AS quality
+    FROM t
+    """,
+    doc="Document quality scoring: token count, type-token ratio, "
+    "stopword ratio, avg token length, and a weighted quality index — "
+    "the pre-training corpus filter signals. All per-row arithmetic; "
+    "ratios left unrounded (identical IEEE ops both engines).",
+    tags=("text", "quality"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        marker_hits(toks, STOPWORDS).alias("stop_hits"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("bigint").alias(
+            "n_letters"
+        ),
+    )
+    n_tok = F.col("n_tokens")
+    stop_ratio = F.col("stop_hits").cast("double") / n_tok
+    ttr = F.col("n_distinct").cast("double") / n_tok
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "stop_hits",
+        (F.col("n_letters").cast("double") / n_tok).alias("avg_token_len"),
+        stop_ratio.alias("stop_ratio"),
+        ttr.alias("ttr"),
+        (
+            F.lit(0.3) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+            + F.lit(0.4) * (F.lit(1.0) - stop_ratio)
+            + F.lit(0.3) * ttr
+        ).alias("quality"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(COUNT(*) OVER (
+             PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+           ) AS BIGINT) AS n_same
+    FROM documents
+    """,
+    doc="Canonical-form document fingerprint (md5 of normalized text) + "
+    "per-fingerprint multiplicity — the O(n) exact-dup detector that "
+    "precedes any near-dup pass at scale.",
+    tags=("text", "fingerprint"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint("text")
+    w = Window.partitionBy(fp)
+    return docs.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_same"),
+    )
