@@ -40,14 +40,20 @@ def marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """n-word shingles of a token array (space-joined strings).
 
-    Built with transform over indices — stays JVM-side, no explode until
-    the caller chooses to.
+    Built by zipping n shifted slices of the array pairwise — every
+    lambda touches only its own elements. (An earlier index-based
+    formulation called ``element_at(toks, i+j)`` inside the lambda,
+    which re-evaluates the full ``toks`` expression subtree per element:
+    passing ``tokens(text)`` there made shingling O(len^2) string work
+    per document. Callers should still pass a materialized column, not
+    an expression, so ``toks`` is a cheap attribute reference.)
     """
-    k = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-    )
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    out = F.slice(toks, 1, k)
+    for j in range(1, n):
+        shifted = F.slice(toks, 1 + j, k)
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return out
 
 
 def fingerprint(text: Column | str) -> Column:

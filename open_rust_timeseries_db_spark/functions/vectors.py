@@ -52,8 +52,151 @@ def cosine_fx(a: Column | str, b: Column | str) -> Column:
     cos = dot_fx / (sqrt(norm2_fx(a)) * sqrt(norm2_fx(b))). Every input
     to the division is derived from exact integer sums, so the result is
     bit-identical across engines computing the same formula.
+
+    Plan note: norm2_fx here is re-evaluated per PAIR. For pair-join
+    queries, precompute norms once per vector on each side and use
+    :func:`dot_fx_pd` + :func:`cosine_from_parts` instead.
     """
     return dot_fx(a, b) / (F.sqrt(norm2_fx(a)) * F.sqrt(norm2_fx(b)))
+
+
+def _make_dot_fx_pd():
+    """Arrow-vectorized fixed-point dot: batches of float32 array pairs
+    -> BIGINT sum of floor(a_k*b_k*1e12).
+
+    Bit-identical to the JVM fold: float32 -> float64 widening is exact,
+    the f64 product is the same IEEE op, np.floor == SQL FLOOR, and the
+    int64 sum is exact (|product| * 1e12 << 2^53, so the f64 floor is
+    exact too). The higher-order-function fold is interpreted per
+    element on the JVM; this path does the same arithmetic in C at
+    ~100x the throughput — the designated hot path for pair-joined
+    similarity queries.
+    """
+    import numpy as np  # deferred: keep module import light
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def dot_fx_pd(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        am = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
+        bm = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+        prods = am * bm
+        fx = np.floor(prods * FX_SCALE).astype(np.int64)
+        return pd.Series(fx.sum(axis=1), dtype="int64")
+
+    # Real class objects (not strings) so PySpark's type-hint inference
+    # resolves the scalar pandas-UDF signature.
+    dot_fx_pd.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(dot_fx_pd, "bigint")
+
+
+_DOT_FX_PD = None
+
+
+def dot_fx_pd(a: Column | str, b: Column | str) -> Column:
+    """Fixed-point dot product as a raw BIGINT (scale 1e12), vectorized
+    via Arrow. Use with :func:`cosine_from_parts` on pair joins."""
+    global _DOT_FX_PD
+    if _DOT_FX_PD is None:
+        _DOT_FX_PD = _make_dot_fx_pd()
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _DOT_FX_PD(a, b)
+
+
+def norm2_fx_raw(a: Column | str) -> Column:
+    """Fixed-point squared-norm as the raw BIGINT sum (scale 1e12).
+
+    Compute this ONCE per vector (it is a JVM fold, fine at
+    one-eval-per-row) and carry it through the pair join.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return _fx_sum(sq)
+
+
+def cosine_from_parts(dot_raw: Column, n2a_raw: Column, n2b_raw: Column) -> Column:
+    """cos from raw BIGINT fx parts — mirrors the oracle formula
+    (dot/1e12) / (sqrt(n2a/1e12) * sqrt(n2b/1e12)) op for op."""
+    return (dot_raw.cast("double") / F.lit(FX_SCALE)) / (
+        F.sqrt(n2a_raw.cast("double") / F.lit(FX_SCALE))
+        * F.sqrt(n2b_raw.cast("double") / F.lit(FX_SCALE))
+    )
+
+
+def blocked_neardup(
+    emb,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+):
+    """All same-block pairs with fixed-point cosine >= threshold, via
+    ``applyInPandas`` over the blocking column.
+
+    Why this shape: a pair-join ships every vector across the Arrow
+    boundary once PER PAIR (O(B^2 * d) bytes per block); grouping by
+    block ships each vector ONCE (O(B * d)) and forms the pair matrix
+    in numpy. Same fixed-point arithmetic as the SQL oracle:
+    dot = sum_k floor(a_k * b_k * 1e12), cos = (dot/1e12) /
+    (sqrt(n2a/1e12) * sqrt(n2b/1e12)) — identical IEEE ops, so results
+    are bit-equal to the pair-join formulation.
+
+    Scale: one shuffle on the block key; block size bounds the O(B^2)
+    pair work per task (AQE skew-split handles oversized blocks).
+    Chunked over rows so peak memory is O(chunk * B * d).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    block_field = emb.schema[block_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField(block_col, block_field.dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def pairs_in_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        n2 = np.floor(mat * mat * FX_SCALE).astype(np.int64).sum(axis=1)
+        denom = np.sqrt(n2 / FX_SCALE)  # sqrt(n2/1e12), per vector
+        block_val = pdf[block_col].iloc[0]
+        out_a, out_b, out_cos = [], [], []
+        n = len(ids)
+        chunk = max(1, (1 << 22) // max(1, n * mat.shape[1]))  # ~32MB f64
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            prods = mat[lo:hi, None, :] * mat[None, :, :]
+            dots = np.floor(prods * FX_SCALE).astype(np.int64).sum(axis=2)
+            cos = (dots / FX_SCALE) / (denom[lo:hi, None] * denom[None, :])
+            keep = (ids[lo:hi, None] < ids[None, :]) & (cos >= threshold)
+            ii, jj = np.nonzero(keep)
+            out_a.append(ids[lo:hi][ii])
+            out_b.append(ids[jj])
+            out_cos.append(cos[ii, jj])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        c = np.concatenate(out_cos) if out_cos else np.array([], dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(a, dtype="int64"),
+                "vec_b": pd.Series(b, dtype="int64"),
+                block_col: pd.Series([block_val] * len(a)),
+                "cosine": pd.Series(c, dtype="float64"),
+            }
+        )
+
+    return emb.select(id_col, block_col, vec_col).groupBy(block_col).applyInPandas(
+        pairs_in_block, out_schema
+    )
 
 
 # DuckDB oracle fragments (kept adjacent to the Spark implementations).

@@ -12,6 +12,14 @@ stable, and fully plannable by Catalyst. Shapes:
   blocking -> Hamming filter. With 4 bands, Hamming <= 3 has perfect
   recall (pigeonhole).
 
+Plan-shape notes (these bit hard at bench time):
+- token/shingle arrays are materialized as columns before any
+  per-element use, so lambdas see attribute references, never a
+  re-evaluated expression subtree;
+- band rows come from one ``explode`` over a literal-built array — a
+  union of B selects re-runs the whole signature aggregation B times
+  per side of the self-join.
+
 The reference stores opaque byte payloads and has no dedup at all
 (SURVEY.md §2.4); these operators are the driver-mandated extension.
 """
@@ -29,6 +37,18 @@ MINHASH_PERMS = 16
 MINHASH_BANDS = 4
 
 
+def _doc_shingles(
+    docs: DataFrame, id_col: str, text_col: str, out: str = "sh"
+) -> DataFrame:
+    """(id_col, sh): one row per distinct shingle per document."""
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    shingled = toked.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col("_toks"))).alias("_shs"),
+    )
+    return shingled.select(F.col(id_col), F.explode("_shs").alias(out))
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -37,9 +57,7 @@ def minhash_signatures(
     One explode + one hash-agg keyed by doc id; every permutation is a
     column, not a pass — the corpus is read once.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(tokens(text_col)))).alias("sh")
-    )
+    sh = _doc_shingles(docs, id_col, text_col)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"sig_{i}")
         for i in range(MINHASH_PERMS)
@@ -47,18 +65,31 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _banded(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bucket): one exploded row per LSH band."""
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col(f"sig_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Banded bucket join -> distinct (a, b) candidate pairs, a < b."""
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    bands = None
-    for b in range(MINHASH_BANDS):
-        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        part = sigs.select(
-            F.col(id_col).alias("id"),
-            F.lit(b).alias("band"),
-            F.xxhash64(*cols).alias("bucket"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = _banded(sigs, id_col)
     left = bands.select(F.col("id").alias("a"), "band", "bucket")
     right = bands.select(F.col("id").alias("b"), "band", "bucket")
     return (
@@ -83,16 +114,19 @@ def exact_jaccard(
     no N^2 blow-up either way. All integer set arithmetic, so the
     similarity is engine-deterministic.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(tokens(text_col)))).alias("sh"),
+    # Join/shuffle on the 8-byte xxhash64 of each shingle, not the
+    # shingle string itself — same intersection counts (collisions are
+    # ~n^2/2^64), a fraction of the shuffle bytes. The distinct-shingle
+    # sets this hashes are exact, so sizes are exact.
+    sh = _doc_shingles(docs, id_col, text_col, out="sh").select(
+        F.col(id_col).alias("id"), F.xxhash64("sh").alias("hs")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col("id").alias("a"), F.col("sh"))
-    sh_b = sh.select(F.col("id").alias("b"), F.col("sh"))
+    sh_a = sh.select(F.col("id").alias("a"), F.col("hs"))
+    sh_b = sh.select(F.col("id").alias("b"), F.col("hs"))
     if pairs is None:
         inter = (
-            sh_a.join(sh_b, "sh")
+            sh_a.join(sh_b, "hs")
             .filter(F.col("a") < F.col("b"))
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -100,7 +134,7 @@ def exact_jaccard(
     else:
         inter = (
             pairs.join(sh_a, "a")
-            .join(sh_b, ["b", "sh"])
+            .join(sh_b, ["b", "hs"])
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
@@ -130,16 +164,25 @@ def simhash_signatures(
 
     md5 (not xxhash64) so a DuckDB oracle can reproduce the signature
     bit-for-bit: h = first 15 hex chars of md5(token) as a 60-bit int.
+    Tokens are pre-counted per (doc, token) so the expensive md5+conv
+    runs once per distinct token per doc, and the majority vote weights
+    by multiplicity — identical result, fewer hashed rows.
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    tok_counts = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+        )
     )
-    votes = toks.groupBy(id_col).agg(
+    votes = tok_counts.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                    F.col("cnt"),
+                ).otherwise(-F.col("cnt"))
             ).alias(f"v_{j}")
             for j in range(bits)
         ]
@@ -159,15 +202,20 @@ def simhash_pairs(sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3)
     4 byte-bands over 32 bits: any pair within Hamming 3 must agree on
     at least one full byte, so the band join loses nothing.
     """
-    bands = None
-    for k in range(4):
-        part = sigs.select(
-            F.col(id_col).alias("id"),
-            F.col("sig"),
-            F.lit(k).alias("band"),
-            F.shiftright(F.col("sig"), 8 * k).bitwiseAND(F.lit(255)).alias("byte"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright(F.col("sig"), 8 * k)
+                .bitwiseAND(F.lit(255))
+                .alias("byte"),
+            )
+            for k in range(4)
+        ]
+    )
+    bands = sigs.select(
+        F.col(id_col).alias("id"), F.col("sig"), F.explode(band_structs).alias("bb")
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
     left = bands.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"), "band", "byte")
     right = bands.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"), "band", "byte")
     cand = (

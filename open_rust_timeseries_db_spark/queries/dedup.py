@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from open_rust_timeseries_db_spark.functions.vectors import cosine_fx, sql_fx_sum
+from open_rust_timeseries_db_spark.functions.vectors import (
+    blocked_neardup,
+    sql_fx_sum,
+)
 from open_rust_timeseries_db_spark.operators.dedupe import (
     exact_jaccard,
     lsh_candidate_pairs,
@@ -182,15 +185,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("emb_a")
+    # applyInPandas per label block: each vector crosses the Arrow
+    # boundary once (O(B*d) transfer), the B^2 pair matrix is formed in
+    # numpy with the same fixed-point ops as the oracle — vs a pair
+    # join, which ships every vector once per pair.
+    pairs = blocked_neardup(
+        emb, block_col="label", id_col="vec_id", vec_col="embedding", threshold=0.4
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("emb_b")
-    )
-    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = cosine_fx("emb_a", "emb_b")
-    return (
-        pairs.select("vec_a", "vec_b", "label", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.4)
-    )
+    return pairs.select("vec_a", "vec_b", "label", "cosine")

@@ -149,7 +149,14 @@ _BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
 )
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    # VALUES -> JVM LocalRelation: keeps the join inside whole-stage
+    # codegen (a Python-built DataFrame scans an ExistingRDD, which
+    # breaks codegen and adds a Python->JVM conversion job).
+    vals = ", ".join(
+        f"('{b}', CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))"
+        for b, lo, hi in _BANDS
+    )
+    bands = spark.sql(f"SELECT * FROM VALUES {vals} AS t(band, lo, hi)")
     cond = (ev.value >= bands.lo) & (ev.value < bands.hi)
     return (
         ev.join(F.broadcast(bands), cond, "inner")
@@ -228,15 +235,24 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            dsum("l_quantity").alias("sum_qty"),
-            dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
-                "revenue"
-            ),
-        )
+    # Two-phase rollup: aggregate to the finest grouping first, then
+    # roll the (tiny) partials up. Grouping-sets expansion multiplies
+    # input rows by the number of sets BEFORE partial aggregation, so
+    # rolling up raw lineitem triples the scanned-row volume; rolling up
+    # the per-(flag,status) partials is free and exact (decimal sums of
+    # decimal sums). At 100 TB this is the difference between one scan
+    # and three.
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("pq"),
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(DEC)
+        ).alias("pr"),
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pq").cast("double").alias("sum_qty"),
+        F.sum("pr").cast("double").alias("revenue"),
     )
 
 

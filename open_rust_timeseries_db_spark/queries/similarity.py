@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from open_rust_timeseries_db_spark.functions.vectors import cosine_fx, sql_fx_sum
+from open_rust_timeseries_db_spark.functions.vectors import (
+    cosine_from_parts,
+    dot_fx_pd,
+    norm2_fx_raw,
+    sql_fx_sum,
+)
 from open_rust_timeseries_db_spark.queries.registry import query
 from open_rust_timeseries_db_spark.sources.catalog import load_table
 
@@ -60,17 +65,28 @@ _NORMS_CTE = f"""
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # Norms are computed ONCE per vector on each side and carried
+    # through the join; the per-pair work is a single Arrow-vectorized
+    # fixed-point dot (dot_fx_pd) — not an interpreted per-element fold.
     queries_df = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm2_fx_raw("embedding").alias("q_n2"),
     )
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding"))
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding"),
+        norm2_fx_raw("embedding").alias("n_n2"),
+    )
     pairs = cand.crossJoin(F.broadcast(queries_df)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_fx("q_emb", "embedding").alias("cosine"),
+        cosine_from_parts(
+            dot_fx_pd("q_emb", "embedding"), F.col("q_n2"), F.col("n_n2")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
@@ -121,12 +137,17 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        norm2_fx_raw("embedding").alias("c_n2"),
     )
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
+    vecs = emb.select("vec_id", "embedding", norm2_fx_raw("embedding").alias("v_n2"))
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "centroid_id",
-        cosine_fx("embedding", "c_emb").alias("cosine"),
+        cosine_from_parts(
+            dot_fx_pd("embedding", "c_emb"), F.col("v_n2"), F.col("c_n2")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "centroid_id")
     assigned = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)

@@ -182,10 +182,12 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    fp = fingerprint("text")
-    w = Window.partitionBy(fp)
-    return docs.select(
+    # Materialize fp first so the regexp+md5 runs once per row; the
+    # window then partitions on the cheap attribute reference.
+    with_fp = docs.select("doc_id", fingerprint("text").alias("fp"))
+    w = Window.partitionBy("fp")
+    return with_fp.select(
         "doc_id",
-        fp.alias("fp"),
+        "fp",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_same"),
     )
