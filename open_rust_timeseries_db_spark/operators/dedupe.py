@@ -114,24 +114,49 @@ def exact_jaccard(
     no N^2 blow-up either way. All integer set arithmetic, so the
     similarity is engine-deterministic.
     """
-    # Join/shuffle on the 8-byte xxhash64 of each shingle, not the
-    # shingle string itself — same intersection counts (collisions are
-    # ~n^2/2^64), a fraction of the shuffle bytes. The distinct-shingle
-    # sets this hashes are exact, so sizes are exact.
-    sh = _doc_shingles(docs, id_col, text_col, out="sh").select(
-        F.col(id_col).alias("id"), F.xxhash64("sh").alias("hs")
+    # Shuffle the 8-byte xxhash64 of each shingle, not the shingle
+    # string — same intersection counts (collisions are ~n^2/2^64); the
+    # distinct-shingle sets being hashed are exact, so sizes are exact.
+    toked = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+    arrays = toked.select(
+        "id", F.array_distinct(word_shingles(F.col("_toks"))).alias("_shs")
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col("id").alias("a"), F.col("hs"))
-    sh_b = sh.select(F.col("id").alias("b"), F.col("hs"))
+    sizes = arrays.select("id", F.size("_shs").cast("bigint").alias("n_sh"))
+    sh = arrays.select("id", F.explode("_shs").alias("sh")).select(
+        "id", F.xxhash64("sh").alias("hs")
+    )
     if pairs is None:
+        # Pair generation without a self-join: group each shingle's
+        # doc-id list (ONE shuffle of the exploded shingles, computed
+        # once — a self-join shuffles them twice and recomputes the
+        # tokenizer per side), then emit ordered pairs inline. Per-array
+        # work is O(c^2) where c = docs sharing the shingle — bounded
+        # and tiny; a genuinely hot shingle is exactly the case where
+        # the self-join explodes too, and AQE skew-split still applies
+        # to the final (a,b) aggregation.
+        groups = sh.groupBy("hs").agg(F.collect_list("id").alias("ids"))
+        pair_arr = F.filter(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x: F.transform(
+                        F.col("ids"),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            ),
+            lambda p: p["a"] < p["b"],
+        )
         inter = (
-            sh_a.join(sh_b, "hs")
-            .filter(F.col("a") < F.col("b"))
+            groups.filter(F.size("ids") > 1)
+            .select(F.explode(pair_arr).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
     else:
+        sh_a = sh.select(F.col("id").alias("a"), F.col("hs"))
+        sh_b = sh.select(F.col("id").alias("b"), F.col("hs"))
         inter = (
             pairs.join(sh_a, "a")
             .join(sh_b, ["b", "hs"])
