@@ -72,6 +72,7 @@ def all_queries() -> dict[str, QuerySpec]:
         parity,
         relational,
         similarity,
+        streaming_q,
         text,
     )
 

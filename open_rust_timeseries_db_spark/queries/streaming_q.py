@@ -1,0 +1,124 @@
+"""Oracle-checked streaming queries.
+
+Each runs a genuine Structured Streaming pipeline (file source over the
+sf_dir's events table, availableNow trigger, memory sink) and returns
+the drained result as a batch DataFrame — so the driver's DuckDB oracle
+verifies STREAMING execution bit-for-bit against the batch SQL twin.
+This is the verifiable half of the streaming layer; the rate-source
+demo feed (streaming/sources.market_data_stream) exercises the same
+pipelines live and is covered by tests/test_streaming.py.
+
+The consumer roles mirrored here are the reference's
+(src/tests/integration_test.rs:221-288): throughput accounting, VWAP
+tracking, and event-lag metrics, plus the watermarked-dedup extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_rust_timeseries_db_spark.queries.helpers import sql_dsum
+from open_rust_timeseries_db_spark.queries.registry import FIXED_NOW_US, query
+from open_rust_timeseries_db_spark.streaming.pipelines import (
+    latency_metrics,
+    running_vwap,
+    stream_dedup,
+    windowed_throughput,
+)
+from open_rust_timeseries_db_spark.streaming.run import run_available_now_to_memory
+from open_rust_timeseries_db_spark.streaming.sources import events_file_stream
+
+_WIN_US = 60_000_000  # 1-minute tumbling windows in epoch-µs
+
+
+@query(
+    "q_stream_throughput",
+    f"""
+    SELECT (epoch_us(ts) // {_WIN_US}) * {_WIN_US} AS win_start_us,
+           (epoch_us(ts) // {_WIN_US}) * {_WIN_US} + {_WIN_US} AS win_end_us,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Streaming tumbling-window throughput (consumer role 2): file "
+    "stream -> watermark -> 1-minute windowed count -> memory sink via "
+    "availableNow. The oracle verifies the streamed result against "
+    "batch SQL on the same files — exactly-once drain means they must "
+    "be identical.",
+    tags=("streaming", "window"),
+)
+def q_stream_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_file_stream(spark, sf_dir)
+    agg = windowed_throughput(stream)
+    return run_available_now_to_memory(spark, agg, mode="complete")
+
+
+@query(
+    "q_stream_vwap",
+    f"""
+    SELECT event_type AS key,
+           COUNT(*) AS n,
+           {sql_dsum("value * (event_id % 100 + 1)")} AS sum_pq,
+           {sql_dsum("event_id % 100 + 1")} AS sum_q,
+           {sql_dsum("value * (event_id % 100 + 1)")}
+             / {sql_dsum("event_id % 100 + 1")} AS vwap
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Streaming running VWAP per key (consumer role 0, reference "
+    "src/tests/integration_test.rs:240-256): price=value, "
+    "qty=event_id%100+1 (deterministic synthetic), exact-decimal sums "
+    "accumulated across micro-batches.",
+    tags=("streaming", "vwap"),
+)
+def q_stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_file_stream(spark, sf_dir).withColumn(
+        "qty", (F.col("event_id") % 100 + 1).cast("long")
+    )
+    agg = running_vwap(stream, key_col="event_type", price_col="value", qty_col="qty")
+    return run_available_now_to_memory(spark, agg, mode="complete")
+
+
+@query(
+    "q_stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming deduplication: dropDuplicates over the bounded "
+    "replay — the exact set of distinct (user_id, event_type) keys "
+    "regardless of arrival order. The unbounded-stream variant "
+    "(dropDuplicatesWithinWatermark, state evicted by event time) is "
+    "exercised in tests/test_streaming.py.",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_file_stream(spark, sf_dir)
+    deduped = stream_dedup(stream, keys=["user_id", "event_type"])
+    return run_available_now_to_memory(spark, deduped, mode="append")
+
+
+@query(
+    "q_stream_latency",
+    f"""
+    WITH lagged AS (
+      SELECT ts, {FIXED_NOW_US} - epoch_us(ts) AS lag_us
+      FROM events
+      WHERE {FIXED_NOW_US} - epoch_us(ts) > 0
+    )
+    SELECT (epoch_us(ts) // {_WIN_US}) * {_WIN_US} AS win_start_us,
+           COUNT(*) AS n,
+           MIN(lag_us) AS min_lag_us,
+           MAX(lag_us) AS max_lag_us,
+           CAST(CAST(SUM(lag_us) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_lag_us
+    FROM lagged
+    GROUP BY 1
+    """,
+    doc="Streaming event-lag metrics per window (consumer role 1, "
+    "reference src/tests/integration_test.rs:257-271): now - ts per "
+    "record, positive-guarded, min/max/exact-decimal-avg per 1-minute "
+    "window; 'now' pinned to FIXED_NOW_US for determinism.",
+    tags=("streaming", "latency"),
+)
+def q_stream_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_file_stream(spark, sf_dir)
+    agg = latency_metrics(stream, now_us=FIXED_NOW_US)
+    return run_available_now_to_memory(spark, agg, mode="complete")

@@ -1,0 +1,74 @@
+"""Streaming execution helpers: sinks and bounded-drain runners.
+
+The reference's consumers run until a message quota is hit
+(src/tests/integration_test.rs:219-221); the verifiable analog here is
+``availableNow`` — drain everything the source currently has, commit,
+stop. Sinks:
+
+- memory sink (:func:`run_available_now_to_memory`) for tests/oracles;
+- parquet-per-batch (:func:`foreach_batch_parquet`) as the durable
+  sink: each micro-batch commits atomically, upgrading the reference's
+  torn-write hazard (src/storage/table.rs:61-76 can fail halfway) to
+  per-batch exactly-once.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_available_now_to_memory(
+    spark: SparkSession,
+    stream: DataFrame,
+    mode: str = "complete",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drain the stream with availableNow into a memory sink; return the
+    result as a batch DataFrame.
+
+    The memory sink is driver-local — strictly a test/verification
+    sink (bounded output only: aggregates or small key sets). Durable
+    pipelines use :func:`foreach_batch_parquet`.
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+def foreach_batch_parquet(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+):
+    """Durable sink: append each micro-batch to a parquet dataset.
+
+    ``foreachBatch`` gives the batch writer's atomic commit per
+    micro-batch; the checkpoint's WAL makes replay idempotent
+    (exactly-once per batch id). Returns the started StreamingQuery.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        writer = batch_df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,91 @@
+"""Streaming sources: the producer side of the reference topology.
+
+Two sources cover the two jobs the reference's producers do:
+
+- :func:`market_data_stream` — a rate-source generator emitting the
+  reference demo's 5-field market schema with its deterministic value
+  formulas (reference src/main.rs:43-56: ``price = base + i*0.01``,
+  ``qty = 100 + i % 100``, ``symbol_id = 100 + producer``,
+  ``exchange_id = producer``). This is the live-demo feed.
+- :func:`events_file_stream` — a file source over a testdata table
+  directory, used wherever results must be verifiable (tests compare
+  a streamed computation against the batch run on the same files).
+
+Scale notes: ``rowsPerSecond`` models the reference's per-producer feed
+rate (≤20k msgs/s, src/main.rs:37,68); ``maxFilesPerTrigger`` /
+``maxOffsetsPerTrigger`` are the ring-capacity analog — bounded intake
+per micro-batch instead of reject-new overflow.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_rust_timeseries_db_spark.sources.catalog import TABLES
+
+# Demo feed defaults mirroring the reference demo topology
+# (src/main.rs:37-41: 2 producers, 50 µs sleep -> <=20k msgs/s each).
+DEFAULT_PRODUCERS = 2
+DEFAULT_ROWS_PER_SECOND = 20_000
+
+
+def market_data_stream(
+    spark: SparkSession,
+    producers: int = DEFAULT_PRODUCERS,
+    rows_per_second: int = DEFAULT_ROWS_PER_SECOND,
+) -> DataFrame:
+    """Rate-source market feed with the reference demo's field formulas.
+
+    Columns: ``symbol_id int, price double, quantity int, ts timestamp,
+    exchange_id int, seq long`` — the 5-field schema of reference
+    src/main.rs:11-31 plus the source sequence number.
+    """
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second * producers)
+        .load()
+    )
+    producer = (F.col("value") % producers).cast("int")
+    i = (F.col("value") / producers).cast("long")  # per-producer counter
+    return rate.select(
+        (F.lit(100) + producer).alias("symbol_id"),
+        (F.lit(1000.0) + i.cast("double") * 0.01).alias("price"),
+        (F.lit(100) + (i % 100)).cast("int").alias("quantity"),
+        F.col("timestamp").alias("ts"),
+        producer.alias("exchange_id"),
+        F.col("value").alias("seq"),
+    )
+
+
+def events_file_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the ``events`` testdata table.
+
+    The parquet files are read as a bounded stream (with
+    ``availableNow`` the query drains them and stops), which makes
+    every streaming pipeline verifiable against its batch twin.
+    ``ts_us`` (epoch-µs long) and ``ts_ts`` (µs timestamp) are added,
+    matching the batch-side convention in queries/helpers.py.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    # testdata tables are single parquet FILES; the file stream source
+    # only accepts a directory path, so stream the sf_dir and glob-filter
+    # down to the events table file.
+    reader = (
+        spark.readStream.schema(TABLES["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .option("recursiveFileLookup", "false")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        "ts_ts", F.timestamp_micros(F.col("ts_us"))
+    )
