@@ -1,0 +1,132 @@
+"""Plan-quality gates: the physical-plan properties the 100 TB design
+relies on, asserted so regressions fail here instead of at scale.
+
+Every gate states WHY the property matters at 1000 executors; sf is
+irrelevant (plans are shape-stable), so these run on sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_rust_timeseries_db_spark.plans import (
+    count_exchanges,
+    has_broadcast_hash_join,
+    has_python_eval,
+    has_wholestage_codegen,
+    plan_string,
+    pushed_filters,
+    read_schemas,
+)
+from open_rust_timeseries_db_spark.queries import all_queries
+from open_rust_timeseries_db_spark.sources.catalog import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_filter_reaches_parquet_scan(spark, qs):
+    """A filter that isn't pushed scans 100 TB to read 1 TB."""
+    df = qs["q_filter_pushdown"].fn(spark, SF_DIR)
+    assert pushed_filters(df), "no PushedFilters on the parquet scan"
+
+
+def test_projection_prunes_scan_columns(spark):
+    """Reading all columns for a 2-column projection is wrong at any
+    scale; parquet scans must carry a pruned ReadSchema."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    schemas = read_schemas(df)
+    assert schemas, "no parquet ReadSchema found"
+    assert all(
+        "l_orderkey" in s and "l_extendedprice" not in s for s in schemas
+    ), f"scan not pruned: {schemas}"
+
+
+def test_small_dim_join_broadcasts(spark, qs):
+    """orders x customer must broadcast the small side — a shuffled
+    sort-merge join here would move the fact table for nothing."""
+    df = qs["q_join_orders_customer"].fn(spark, SF_DIR)
+    assert has_broadcast_hash_join(df), plan_string(df, "simple")
+
+
+def test_hot_aggregates_stay_jvm_side(spark, qs):
+    """Reference-parity analytics must not fall out of whole-stage
+    codegen into Python: BatchEvalPython in a hot path is a 10-100x
+    regression (SURVEY.md §2.2 C1-C15 are all built-in expressible)."""
+    # AQE hides codegen subtrees behind AdaptiveSparkPlan until
+    # execution; toggle it off for the static codegen compile check
+    # (codegen itself is unaffected by AQE).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in (
+            "q_vwap_by_symbol",
+            "q_latency_summary",
+            "q_groupby_avg",
+            "q_throughput_window",
+            "q_event_lag",
+        ):
+            df = qs[name].fn(spark, SF_DIR)
+            assert not has_python_eval(df), f"{name} evaluates Python"
+            assert has_wholestage_codegen(df), f"{name} lost codegen"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_python_confined_to_designated_operators(spark, qs):
+    """Python/Arrow evaluation appears ONLY where it is the designed
+    hot path (vector similarity + multimodal plumbing), nowhere else."""
+    allowed = {
+        "q_cosine_topk",
+        "q_ann_ivf",
+        "q_embedding_neardup",
+        "q_frame_sample",
+    }
+    for name, spec in qs.items():
+        if name.startswith("q_stream"):
+            continue  # streaming plans are checked by execution
+        df = spec.fn(spark, SF_DIR)
+        if name in allowed:
+            assert has_python_eval(df), f"{name} should use the Arrow path"
+        else:
+            assert not has_python_eval(df), f"{name} unexpectedly runs Python"
+
+
+def test_single_shuffle_aggregation(spark, qs):
+    """groupBy().agg() must be one shuffle (partial map-side + final);
+    anything more means partial aggregation broke."""
+    df = qs["q_groupby_avg"].fn(spark, SF_DIR)
+    assert count_exchanges(df) == 1, plan_string(df, "simple")
+
+
+def test_vwap_single_shuffle(spark, qs):
+    df = qs["q_vwap_by_symbol"].fn(spark, SF_DIR)
+    assert count_exchanges(df) <= 2, plan_string(df, "simple")
+
+
+def test_range_join_is_broadcast_not_cartesian(spark, qs):
+    """The band side is tiny: the plan must be a broadcast nested-loop
+    over the fact table, never a shuffled cartesian."""
+    df = qs["q_range_join"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_modulo_sample_pushdown_free_scan(spark, qs):
+    """Deterministic modulo sampling stays a narrow scan: no shuffle."""
+    df = qs["q_modulo_sample"].fn(spark, SF_DIR)
+    assert count_exchanges(df) == 0, plan_string(df, "simple")
+
+
+def test_broadcast_hint_survives_in_topk(spark):
+    """orderBy().limit() must plan TakeOrderedAndProject (top-k heap),
+    not a global sort."""
+    orders = load_table(spark, SF_DIR, "orders")
+    df = orders.orderBy(F.col("o_totalprice").desc()).limit(10)
+    assert "TakeOrderedAndProject" in plan_string(df, "simple")
