@@ -67,6 +67,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Import all query modules and return the full registry."""
     # Imports deferred so registry population is explicit and one-shot.
     from open_rust_timeseries_db_spark.queries import (  # noqa: F401
+        analytic,
         dedup,
         multimodal,
         parity,

@@ -70,6 +70,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Catalog tables (bucketed warehouse, sources/warehouse.py) go
+        # to a scratch dir, never the repo working directory.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
