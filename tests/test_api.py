@@ -1,0 +1,153 @@
+"""Reference-API facade tests: the reference's own test topology
+(4 producers x N msgs, 3 consumers, bounded ring, reject-new overflow —
+reference src/tests/integration_test.rs:125-320) reproduced against
+api.Table, plus the validation the reference omits.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from open_rust_timeseries_db_spark.api import Table
+
+MARKET_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol_id", T.IntegerType(), nullable=False),
+        T.StructField("price", T.DoubleType(), nullable=False),
+        T.StructField("quantity", T.IntegerType(), nullable=False),
+        T.StructField("ts_ns", T.LongType(), nullable=False),
+        T.StructField("exchange_id", T.IntegerType(), nullable=False),
+    ]
+)
+
+
+def _tick(producer: int, i: int) -> dict:
+    # Reference generator formulas (src/tests/integration_test.rs:162-173).
+    return {
+        "symbol_id": 100 + producer,
+        "price": 1000.0 + i * 0.01,
+        "quantity": 100 + i % 100,
+        "ts_ns": 1_700_000_000_000_000_000 + i,
+        "exchange_id": producer,
+    }
+
+
+def test_mpmc_producers_consumers(spark):
+    """4P x 2000 msgs, 3C, ring 1024: everything produced is consumed
+    exactly once (no loss, no duplication, no tearing)."""
+    table = Table(spark, "market_data", MARKET_SCHEMA, capacity=1024)
+    n_producers, per_producer, n_consumers = 4, 2000, 3
+    produced = n_producers * per_producer
+    consumed: list[dict] = []
+    consumed_lock = threading.Lock()
+    done = threading.Event()
+
+    def producer(p: int) -> None:
+        for i in range(per_producer):
+            # Reference retry loop (src/tests/integration_test.rs:176-196)
+            while not table.write_record(_tick(p, i)):
+                time.sleep(0.0001)
+
+    def consumer() -> None:
+        while not done.is_set() or not table.is_empty():
+            rec = table.read_one_record()
+            if rec is None:
+                time.sleep(0.0001)
+                continue
+            with consumed_lock:
+                consumed.append(rec)
+
+    producers = [threading.Thread(target=producer, args=(p,)) for p in range(n_producers)]
+    consumers = [threading.Thread(target=consumer) for _ in range(n_consumers)]
+    for t in consumers + producers:
+        t.start()
+    for t in producers:
+        t.join()
+    done.set()
+    for t in consumers:
+        t.join()
+
+    assert len(consumed) == produced
+    assert table.record_count() == 0
+    # No tearing: every record's fields satisfy the generator invariants.
+    for rec in consumed:
+        assert rec["symbol_id"] == 100 + rec["exchange_id"]
+        i = rec["ts_ns"] - 1_700_000_000_000_000_000
+        assert rec["quantity"] == 100 + i % 100
+        assert rec["price"] == pytest.approx(1000.0 + i * 0.01)
+
+
+def test_reject_new_overflow(spark):
+    table = Table(spark, "tiny", MARKET_SCHEMA, capacity=4)
+    for i in range(4):
+        assert table.write_record(_tick(0, i))
+    assert table.is_full()
+    assert not table.write_record(_tick(0, 99))  # reject-new, not drop-oldest
+    assert table.read_one_record() is not None
+    assert table.write_record(_tick(0, 99))  # slot freed
+
+
+def test_schema_validation_is_enforced(spark):
+    """The reference silently drops unknown fields and accepts missing
+    ones (src/storage/table.rs:61-71); here both raise."""
+    table = Table(spark, "strict", MARKET_SCHEMA, capacity=8)
+    good = _tick(0, 1)
+    with pytest.raises(KeyError):
+        table.write_record({**good, "bogus": 1})
+    with pytest.raises(KeyError):
+        table.write_record({k: v for k, v in good.items() if k != "price"})
+    with pytest.raises(TypeError):
+        table.write_record({**good, "price": "not a float"})
+    assert table.record_count() == 0
+
+
+def test_fifo_order_single_consumer(spark):
+    table = Table(spark, "fifo", MARKET_SCHEMA, capacity=64)
+    for i in range(10):
+        table.write_record(_tick(0, i))
+    seen = [table.read_one_record()["ts_ns"] for _ in range(10)]
+    assert seen == sorted(seen)
+
+
+def test_to_df_analytics_vwap(spark):
+    """The Spark handoff: VWAP over ingested ticks matches Python."""
+    table = Table(spark, "vwap_src", MARKET_SCHEMA, capacity=4096)
+    for p in range(2):
+        for i in range(500):
+            assert table.write_record(_tick(p, i))
+    df = table.to_df()
+    got = (
+        df.groupBy("symbol_id")
+        .agg(
+            (
+                F.sum(F.col("price") * F.col("quantity")) / F.sum("quantity")
+            ).alias("vwap")
+        )
+        .collect()
+    )
+    ticks = [_tick(0, i) for i in range(500)]
+    want = sum(t["price"] * t["quantity"] for t in ticks) / sum(
+        t["quantity"] for t in ticks
+    )
+    by_symbol = {r["symbol_id"]: r["vwap"] for r in got}
+    assert by_symbol[100] == pytest.approx(want)
+    assert by_symbol[101] == pytest.approx(want)
+    assert table.record_count() == 1000  # to_df is non-destructive
+
+
+def test_flush_to_parquet_exactly_once(spark, tmp_path):
+    out = str(tmp_path / "flushed")
+    table = Table(spark, "flush_src", MARKET_SCHEMA, capacity=4096)
+    for i in range(300):
+        table.write_record(_tick(0, i))
+    assert table.flush_to_parquet(out) == 300
+    assert table.record_count() == 0
+    assert table.flush_to_parquet(out) == 0  # idempotent on empty
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    assert back.select("ts_ns").distinct().count() == 300
