@@ -69,6 +69,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from open_rust_timeseries_db_spark.queries import (  # noqa: F401
         analytic,
         dedup,
+        functions_q,
         multimodal,
         parity,
         relational,
