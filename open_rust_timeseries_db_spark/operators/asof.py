@@ -47,6 +47,12 @@ def asof_join(
         raise ValueError(f"how must be inner|left, got {how!r}")
 
     l_cols = left.columns
+    # Right rows carry the tiebreak so equal-ts right duplicates have a
+    # deterministic winner (the greatest tiebreak value); it must be
+    # captured HERE, while the right DataFrame's own columns are still
+    # in scope.
+    lhs_tb = [F.lit(None).cast("long").alias("__tb")] if tiebreak else []
+    rhs_tb = [F.col(tiebreak).cast("long").alias("__tb")] if tiebreak else []
     lhs = left.select(
         F.col(on).alias("__key"),
         F.col(left_ts).cast("long").alias("__ts"),
@@ -54,6 +60,7 @@ def asof_join(
         F.struct(*l_cols).alias("__left"),
         F.lit(None).cast("long").alias("__rts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in right_values],
+        *lhs_tb,
     )
     rhs = right.select(
         F.col(on).alias("__key"),
@@ -62,14 +69,11 @@ def asof_join(
         F.lit(None).cast(left.select(F.struct(*l_cols)).schema[0].dataType).alias("__left"),
         F.col(right_ts).cast("long").alias("__rts"),
         *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+        *rhs_tb,
     )
 
     order: list[Column] = [F.col("__ts"), F.col("__tag")]
     if tiebreak is not None:
-        # Right rows carry the tiebreak so equal-ts right duplicates have
-        # a deterministic winner (the greatest tiebreak value).
-        rhs = rhs.withColumn("__tb", F.col(tiebreak).cast("long"))
-        lhs = lhs.withColumn("__tb", F.lit(None).cast("long"))
         order.append(F.col("__tb").asc_nulls_first())
 
     unioned = lhs.unionByName(rhs)

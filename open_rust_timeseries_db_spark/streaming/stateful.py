@@ -1,0 +1,110 @@
+"""Custom stateful streaming: running per-key aggregates via
+``applyInPandasWithState``.
+
+The reference's consumers hold cross-batch state in shared structs —
+running VWAP inputs (src/tests/integration_test.rs:240-256) and
+latency min/max/total folds (:334-357) survive across ring drains.
+Structured Streaming's built-in windowed aggregates cover the windowed
+forms; this operator is the UNWINDOWED running form: state keyed by
+symbol, updated every micro-batch, emitted as a changelog.
+
+Built-ins can't express "emit the running total after each batch" in
+update mode with custom merge logic — this is the documented
+``applyInPandasWithState`` case (GroupState keyed by the grouping
+columns, Arrow-batched updates).
+
+Scale: state is per-key O(1) (four scalars), partitioned by key across
+executors like any stateful op; a timeout (GroupStateTimeout) would
+evict idle keys on unbounded key spaces — not set here because the
+market-symbol space is finite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+RUNNING_VWAP_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_pq_fx", T.LongType()),  # fixed-point 1e6
+        T.StructField("sum_q", T.LongType()),
+        T.StructField("vwap", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_pq_fx", T.LongType()),
+        T.StructField("sum_q", T.LongType()),
+    ]
+)
+
+_FX = 1_000_000  # price*qty accumulated as floor(pq * 1e6) — exact int merge
+
+
+def running_vwap_stateful(
+    stream: DataFrame,
+    key_col: str = "symbol_id",
+    price_col: str = "price",
+    qty_col: str = "quantity",
+) -> DataFrame:
+    """Changelog of running (cumulative) VWAP per key, one row per key
+    per micro-batch that touched it.
+
+    The accumulator is integer fixed-point, so merge order across
+    batches/partitions cannot change the result — the same determinism
+    rule as the batch queries (queries/helpers.py).
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        n, sum_pq_fx, sum_q = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            prices = pdf[price_col].astype("float64")
+            qtys = pdf[qty_col].astype("int64")
+            n += len(pdf)
+            # per-row floor keeps the accumulator exactly mergeable
+            sum_pq_fx += int(
+                sum(math.floor(p * q * _FX) for p, q in zip(prices, qtys))
+            )
+            sum_q += int(qtys.sum())
+        state.update((n, sum_pq_fx, sum_q))
+        vwap = (sum_pq_fx / _FX) / sum_q if sum_q else float("nan")
+        yield pd.DataFrame(
+            {
+                "key": pd.Series([key[0]], dtype="int64"),
+                "n": pd.Series([n], dtype="int64"),
+                "sum_pq_fx": pd.Series([sum_pq_fx], dtype="int64"),
+                "sum_q": pd.Series([sum_q], dtype="int64"),
+                "vwap": pd.Series([vwap], dtype="float64"),
+            }
+        )
+
+    return (
+        stream.select(key_col, price_col, qty_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_VWAP_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
