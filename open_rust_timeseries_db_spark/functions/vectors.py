@@ -126,6 +126,151 @@ def cosine_from_parts(dot_raw: Column, n2a_raw: Column, n2b_raw: Column) -> Colu
     )
 
 
+def ivf_assign(
+    emb,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "c_emb",
+):
+    """Assign every vector to its nearest centroid (max cosine, ties to
+    the smallest centroid id) in ONE mapInPandas pass.
+
+    The IVF index build: the centroid set is tiny by construction
+    (sqrt(N)-ish), so it rides to every task as a numpy matrix inside
+    the closure — no crossJoin row explosion, no window. Per batch:
+    (B,d) x (d,C) products with the same per-element fixed-point floor
+    as the SQL oracle, then a lexicographic argmax. Narrow (no
+    shuffle): output is one row per input vector.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cent_rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    c_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    c_n2 = np.floor(c_mat * c_mat * FX_SCALE).astype(np.int64).sum(axis=1)
+    c_den = np.sqrt(c_n2 / FX_SCALE)
+    # Deterministic tie order: sort centroids by id ascending so the
+    # first argmax hit is the smallest centroid_id.
+    order = np.argsort(c_ids, kind="stable")
+    c_ids, c_mat, c_den = c_ids[order], c_mat[order], c_den[order]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            v_n2 = np.floor(mat * mat * FX_SCALE).astype(np.int64).sum(axis=1)
+            v_den = np.sqrt(v_n2 / FX_SCALE)
+            # (B, C, d) per-element fixed-point products, chunked over B.
+            best_id = np.empty(len(ids), dtype=np.int64)
+            best_cos = np.empty(len(ids), dtype=np.float64)
+            chunk = max(1, (1 << 22) // max(1, c_mat.shape[0] * c_mat.shape[1]))
+            for lo in range(0, len(ids), chunk):
+                hi = min(len(ids), lo + chunk)
+                prods = mat[lo:hi, None, :] * c_mat[None, :, :]
+                dots = np.floor(prods * FX_SCALE).astype(np.int64).sum(axis=2)
+                cos = (dots / FX_SCALE) / (v_den[lo:hi, None] * c_den[None, :])
+                # argmax takes the FIRST max; centroids are id-ascending,
+                # matching ORDER BY cosine DESC, centroid_id ASC.
+                k = np.argmax(cos, axis=1)
+                best_id[lo:hi] = c_ids[k]
+                best_cos[lo:hi] = cos[np.arange(hi - lo), k]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(ids, dtype="int64"),
+                    "centroid_id": pd.Series(best_id, dtype="int64"),
+                    "cosine": pd.Series(best_cos, dtype="float64"),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def local_topk_cosine(
+    cand,
+    queries,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_emb",
+):
+    """Per-partition top-k cosine candidates for each query vector.
+
+    The distributed top-k shape: every task scores its candidate batch
+    against the (small, closure-shipped) query matrix and emits only
+    its LOCAL top-k per query — O(tasks * Q * k) rows reach the final
+    global top-k selection instead of O(N * Q). Selection order matches
+    ORDER BY cosine DESC, neighbor_id ASC, so the global top-k is a
+    subset of the union of local top-ks (callers finish with a window
+    over the tiny survivor set).
+
+    Same fixed-point arithmetic as the SQL oracle throughout.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_n2 = np.floor(q_mat * q_mat * FX_SCALE).astype(np.int64).sum(axis=1)
+    q_den = np.sqrt(q_n2 / FX_SCALE)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n2 = np.floor(mat * mat * FX_SCALE).astype(np.int64).sum(axis=1)
+            den = np.sqrt(n2 / FX_SCALE)
+            prods = mat[:, None, :] * q_mat[None, :, :]  # (B, Q, d)
+            dots = np.floor(prods * FX_SCALE).astype(np.int64).sum(axis=2)
+            cos = (dots / FX_SCALE) / (den[:, None] * q_den[None, :])
+            qs_out, ns_out, cs_out = [], [], []
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]  # exclude self-match
+                c_ids, c_cos = ids[mask], cos[mask, qi]
+                # top-k by (cosine desc, neighbor_id asc)
+                order = np.lexsort((c_ids, -c_cos))[:k]
+                qs_out.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+                ns_out.append(c_ids[order])
+                cs_out.append(c_cos[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(np.concatenate(qs_out), dtype="int64"),
+                    "neighbor_id": pd.Series(np.concatenate(ns_out), dtype="int64"),
+                    "cosine": pd.Series(np.concatenate(cs_out), dtype="float64"),
+                }
+            )
+
+    return cand.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
 def blocked_neardup(
     emb,
     block_col: str = "label",

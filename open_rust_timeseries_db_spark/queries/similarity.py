@@ -13,9 +13,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_rust_timeseries_db_spark.functions.vectors import (
-    cosine_from_parts,
-    dot_fx_pd,
-    norm2_fx_raw,
+    ivf_assign,
+    local_topk_cosine,
     sql_fx_sum,
 )
 from open_rust_timeseries_db_spark.queries.registry import query
@@ -65,32 +64,17 @@ _NORMS_CTE = f"""
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # Norms are computed ONCE per vector on each side and carried
-    # through the join; the per-pair work is a single Arrow-vectorized
-    # fixed-point dot (dot_fx_pd) — not an interpreted per-element fold.
+    # Distributed top-k: each task emits only its LOCAL top-5 per query
+    # (O(tasks*Q*k) survivors instead of O(N*Q) scored pairs); the
+    # global window ranks the tiny survivor set. The query matrix rides
+    # in the task closure — no crossJoin.
     queries_df = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        norm2_fx_raw("embedding").alias("q_n2"),
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    cand = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding"),
-        norm2_fx_raw("embedding").alias("n_n2"),
-    )
-    pairs = cand.crossJoin(F.broadcast(queries_df)).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        cosine_from_parts(
-            dot_fx_pd("q_emb", "embedding"), F.col("q_n2"), F.col("n_n2")
-        ).alias("cosine"),
-    )
+    local = local_topk_cosine(emb, queries_df, k=5)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
-        scored.select(
+        local.select(
             "query_id",
             "neighbor_id",
             "cosine",
@@ -137,20 +121,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
-        norm2_fx_raw("embedding").alias("c_n2"),
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
-    vecs = emb.select("vec_id", "embedding", norm2_fx_raw("embedding").alias("v_n2"))
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "centroid_id",
-        cosine_from_parts(
-            dot_fx_pd("embedding", "c_emb"), F.col("v_n2"), F.col("c_n2")
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "centroid_id")
-    assigned = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # One narrow mapInPandas pass with the (tiny) centroid matrix in the
+    # task closure — no crossJoin row explosion, no per-vector window;
+    # the only shuffle is the final per-cell aggregation.
+    assigned = ivf_assign(emb, centroids)
     return assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("cosine").alias("min_cos"),
