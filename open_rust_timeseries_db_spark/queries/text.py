@@ -56,6 +56,37 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_regex_tokens",
+    r"""
+    SELECT piece, COUNT(*) AS n
+    FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS piece
+      FROM documents
+    )
+    GROUP BY piece
+    ORDER BY n DESC, piece
+    LIMIT 100
+    """,
+    doc="BPE-style pre-tokenization: alphanumeric runs OR single "
+    "non-space symbols on lowercased text (the split a byte-pair "
+    "tokenizer starts from), top-100 pieces with total tie-break. "
+    "Complements whitespace tokens (q_token_counts); the character-"
+    "class-only regex behaves identically in Java regex and RE2.",
+    tags=("text", "tokens", "regex"),
+)
+def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0)
+    return (
+        docs.select(F.explode(pieces).alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "piece")
+        .limit(100)
+    )
+
+
 _LANG_CASE_SQL = """
     CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
          WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
