@@ -171,6 +171,101 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SLIDE_US = 60_000_000  # 1-minute slide
+_WIDTH_US = 600_000_000  # 10-minute sliding window width
+
+
+@query(
+    "q_sliding_window",
+    f"""
+    WITH contrib AS (
+      SELECT e.value,
+             (epoch_us(e.ts) // {_SLIDE_US}) * {_SLIDE_US} - k.k * {_SLIDE_US}
+               AS win_start_us
+      FROM events e,
+           (SELECT unnest(range(0, {_WIDTH_US // _SLIDE_US})) AS k) k
+    )
+    SELECT win_start_us,
+           win_start_us + {_WIDTH_US} AS win_end_us,
+           COUNT(*) AS n,
+           {sql_dsum("value")} AS sum_value
+    FROM contrib
+    GROUP BY 1, 2
+    """,
+    doc="Sliding windows (10-minute width, 1-minute slide): each event "
+    "contributes to width/slide windows — Spark's window(ts, w, s) "
+    "expands exactly that way before aggregating. The oracle "
+    "materializes the same 10 contributions per row. Streaming twin: "
+    "same expression under a watermark (streaming/pipelines.py).",
+    tags=("analytic", "window", "sliding"),
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).withColumn(
+        "ts_ts", F.timestamp_micros(F.col("ts_us"))
+    )
+    return (
+        ev.groupBy(F.window("ts_ts", "10 minutes", "1 minute").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            F.unix_micros(F.col("win.end")).alias("win_end_us"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_doc_chunks",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, GREATEST(
+               CAST(CEIL((length(text) - 64) / 192.0) AS BIGINT), 1
+             ))) AS chunk_id
+      FROM documents
+    )
+    SELECT doc_id, chunk_id,
+           substr(text, CAST(chunk_id * 192 + 1 AS INT), 256) AS chunk,
+           CAST(length(substr(text, CAST(chunk_id * 192 + 1 AS INT), 256))
+                AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(chunk_id * 192 + 1 AS INT), 256)) AS chunk_md5
+    FROM idx
+    """,
+    doc="Document chunking for retrieval/training pipelines: 256-char "
+    "windows with 64-char overlap (stride 192), chunk ids + md5 "
+    "fingerprints. Pure sequence+explode+substr — narrow, no Python, "
+    "no shuffle; the standard pre-embedding step at corpus scale.",
+    tags=("analytic", "text", "chunking"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - F.lit(64)) / F.lit(192.0)).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    chunked = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    chunk = F.substring(
+        F.col("text"), (F.col("chunk_id") * 192 + 1).cast("int"), 256
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        chunk.alias("chunk"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
 @query(
     "q_approx_distinct",
     None,  # HLL estimates are engine-specific; accuracy asserted in tests
