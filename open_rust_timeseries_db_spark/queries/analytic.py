@@ -193,25 +193,44 @@ _WIDTH_US = 600_000_000  # 10-minute sliding window width
     GROUP BY 1, 2
     """,
     doc="Sliding windows (10-minute width, 1-minute slide): each event "
-    "contributes to width/slide windows — Spark's window(ts, w, s) "
-    "expands exactly that way before aggregating. The oracle "
-    "materializes the same 10 contributions per row. Streaming twin: "
-    "same expression under a watermark (streaming/pipelines.py).",
+    "belongs to width/slide = 10 overlapping windows. Two-phase plan: "
+    "pre-aggregate events into 1-minute slide buckets FIRST (the only "
+    "full-data shuffle — decimal partials stay exact under re-sum), "
+    "then explode each bucket into its 10 windows and re-aggregate the "
+    "tiny bucket table. Spark's window(ts, w, s) explodes every EVENT "
+    "10x before the shuffle; this shape shuffles each slide bucket "
+    "once, a width/slide-fold reduction in shuffle rows at any scale. "
+    "Streaming twin: watermarked window() in streaming/pipelines.py.",
     tags=("analytic", "window", "sliding"),
 )
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_us(spark, sf_dir).withColumn(
-        "ts_ts", F.timestamp_micros(F.col("ts_us"))
+    ev = events_us(spark, sf_dir)
+    slide = (F.col("ts_us") - (F.col("ts_us") % _SLIDE_US)).alias("slide_us")
+    buckets = ev.groupBy(slide).agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.sum(F.col("value").cast(DEC)).alias("bsum"),  # exact partials
     )
+    # Every event in slide bucket s lies in exactly the windows starting
+    # at s - k*slide for k = 0..width/slide-1, so the expansion is
+    # lossless.
+    expanded = buckets.select(
+        "slide_us",
+        "bn",
+        "bsum",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_WIDTH_US // _SLIDE_US - 1))
+        ).alias("k"),
+    )
+    win_start = F.col("slide_us") - F.col("k") * F.lit(_SLIDE_US)
     return (
-        ev.groupBy(F.window("ts_ts", "10 minutes", "1 minute").alias("win"))
+        expanded.groupBy(win_start.alias("win_start_us"))
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.sum("bn").alias("n"),
+            F.sum("bsum").cast("double").alias("sum_value"),
         )
         .select(
-            F.unix_micros(F.col("win.start")).alias("win_start_us"),
-            F.unix_micros(F.col("win.end")).alias("win_end_us"),
+            "win_start_us",
+            (F.col("win_start_us") + F.lit(_WIDTH_US)).alias("win_end_us"),
             "n",
             "sum_value",
         )

@@ -18,8 +18,7 @@ from open_rust_timeseries_db_spark.functions.vectors import (
 )
 from open_rust_timeseries_db_spark.operators.dedupe import (
     exact_jaccard,
-    lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_neardup,
     simhash_pairs,
     simhash_signatures,
 )
@@ -54,19 +53,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_near",
     None,  # xxhash64 signatures are JVM-only -> rows-only driver check
     doc="MinHash-LSH near-dup pipeline: 3-word shingles -> 16 xxhash64 "
-    "min-hash permutations -> 4-band bucket join -> candidate pairs -> "
-    "exact-Jaccard verification (>= 0.5). Linear-ish in corpus size: "
-    "only docs sharing a band bucket are paired. Rows-only check "
-    "(signatures use JVM xxhash64); the Jaccard verifier itself is "
-    "oracle-checked separately as q_ngram_jaccard.",
+    "min-hash permutations (per-row array ops, zero shuffle) -> 4-band "
+    "bucket grouping -> inline candidate pairs -> exact-Jaccard "
+    "verification (>= 0.5) via array_intersect on shingle-hash arrays "
+    "carried through the shuffle. ONE corpus pass, no self-joins. "
+    "Linear-ish in corpus size: only docs sharing a band bucket are "
+    "paired. Rows-only check (signatures use JVM xxhash64); the Jaccard "
+    "verifier itself is oracle-checked separately as q_ngram_jaccard.",
     tags=("dedup", "minhash", "rows-only"),
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
-    pairs = lsh_candidate_pairs(sigs)
-    verified = exact_jaccard(docs, pairs)
-    return verified.filter(F.col("jaccard") >= 0.5).select(
+    return minhash_neardup(docs, threshold=0.5).select(
         "a", "b", "n_inter", "jaccard"
     )
 

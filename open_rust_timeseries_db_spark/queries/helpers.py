@@ -21,6 +21,28 @@ def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spread_scan(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Unlock parallelism for CPU-heavy map work over a tiny scan.
+
+    The testdata parquet files are written as a SINGLE row group, so the
+    scan — and every narrow op fused onto it (tokenize, hash, explode)
+    — runs as ONE task regardless of ``maxPartitionBytes``. For
+    pipelines whose map side is the expensive part, a round-robin
+    repartition spreads that work across the executor cores at the cost
+    of shuffling the raw rows once (cheap at small-file size, by
+    definition).
+
+    Gated on the actual scan partition count so it is a NO-OP at scale:
+    a real multi-row-group / multi-file corpus already splits, and the
+    full-data shuffle this would add there is exactly what we avoid.
+    """
+    if df.rdd.getNumPartitions() > 1:
+        return df
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(partitions)
+
+
 def dsum(col: Column | str) -> Column:
     """Order-insensitive double sum: exact DECIMAL accumulation.
 
