@@ -1,0 +1,96 @@
+"""Iterative graph operators: connected components for dedup clustering.
+
+The last step of every near-dup pipeline: candidate pairs form an
+undirected graph; each connected component is one duplicate cluster, and
+the member with the smallest id is the canonical survivor. The reference
+has no graph step at all (it has no dedup, SURVEY.md §2.4); this is part
+of the driver-mandated training-pipeline extension.
+
+Algorithm: min-label propagation to a fixpoint — each round, every node
+takes the minimum label among itself and its neighbors. Converges in
+O(component diameter) rounds; near-dup clusters are dense (everything
+within a few edits of a template), so diameters are tiny. Spark-specific
+mechanics that matter:
+
+- ``localCheckpoint(eager=True)`` after every round truncates lineage —
+  without it the plan tree doubles per iteration and planning time
+  explodes by round ~8 (the classic iterative-Spark failure mode).
+- The adjacency list is checkpointed ONCE up front: it is the output of
+  the whole upstream candidate-pair pipeline, and every round joins
+  against it — uncheckpointed, each round would re-run that pipeline.
+- Convergence is detected by the label sum (labels only ever decrease,
+  so the sum strictly decreases until the fixpoint), read back as ONE
+  scalar per round — no per-node driver traffic.
+
+At 100 TB: rounds are plain shuffled join+agg jobs, so each round scales
+like any other aggregation; for graphs with genuinely large diameters
+(chains, not dedup clusters) switch to the large-star/small-star
+alternation (Kiveris et al., "Connected Components in MapReduce"), which
+converges in O(log^2 n) rounds with the same join+agg building blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, label): label = min node id in the connected component.
+
+    ``nodes`` must contain every vertex (isolated vertices become their
+    own singleton component); ``edges`` is undirected (each row one
+    pair, either orientation).
+    """
+    adj = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    prev_sum = None
+    for _ in range(max_iter):
+        neighbor_labels = adj.join(
+            labels, adj["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "label")
+        # Materialized before the self-join below — referenced twice,
+        # an uncheckpointed plan would re-run the join+agg per side.
+        propagated = (
+            labels.union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # Pointer jumping (path halving): follow one level of label
+        # indirection — label <- label(label). Neighbor-min alone needs
+        # O(diameter) rounds; compressing paths each round brings chains
+        # down in O(log diameter). The left join keeps roots (label not
+        # present as a node never happens — labels are node ids — but
+        # the root maps to itself, a plain inner self-join).
+        lhs, rhs = propagated.alias("l"), propagated.alias("r")
+        jumped = lhs.join(rhs, F.col("l.label") == F.col("r.node")).select(
+            F.col("l.node").alias("node"), F.col("r.label").alias("label")
+        )
+        # Lazy checkpoint: the convergence aggregate below is the job
+        # that materializes it — one Spark job per round, not two.
+        new_labels = jumped.localCheckpoint(eager=False)
+        # One scalar back to the driver per round; decimal so the
+        # convergence test is overflow-proof at any node count.
+        label_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if prev_sum is not None and label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+    return labels

@@ -22,6 +22,7 @@ from open_rust_timeseries_db_spark.operators.dedupe import (
     simhash_pairs,
     simhash_signatures,
 )
+from open_rust_timeseries_db_spark.operators.graph import connected_components
 from open_rust_timeseries_db_spark.queries.registry import query
 from open_rust_timeseries_db_spark.sources.catalog import load_table
 
@@ -110,10 +111,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_simhash",
-    """
-    WITH toks AS (
+# SimHash pipeline as DuckDB CTEs, shared by q_simhash and the
+# cluster query built on its pairs.
+_SIMHASH_CTES = """toks AS (
       SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
       FROM documents
     ), hashes AS (
@@ -134,9 +134,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.sig AS sig_a, b.sig AS sig_b
       FROM bands a JOIN bands b
         ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id
-    )
-    SELECT a, b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    ), spairs AS (
+      SELECT a, b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    )"""
+
+
+@query(
+    "q_simhash",
+    f"""
+    WITH {_SIMHASH_CTES}
+    SELECT a, b, hamming FROM spairs
     """,
     doc="SimHash near-dup: 32-bit bitwise-majority signature over "
     "md5-derived token hashes, byte-band blocking (4 bands -> perfect "
@@ -149,6 +157,57 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs)
     return simhash_pairs(sigs, max_hamming=3)
+
+
+@query(
+    "q_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SIMHASH_CTES},
+    edges AS (
+      SELECT a AS src, b AS dst FROM spairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM spairs
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    sized AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           CAST(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS BIGINT)
+             AS is_canonical
+    FROM comp c JOIN sized s ON s.cluster_id = c.cluster_id
+    """,
+    doc="Duplicate CLUSTERS, not just pairs — the step that actually "
+    "dedups a corpus: connected components over the SimHash near-dup "
+    "graph (min-label propagation to fixpoint, operators/graph.py), "
+    "cluster id = min doc_id = the canonical survivor; singletons keep "
+    "themselves. The oracle re-derives components with a recursive CTE "
+    "(transitive closure + MIN), so the whole iterative pipeline is "
+    "value-checked bit-for-bit. Iteration count = component diameter; "
+    "see graph.py for the O(log^2 n) large-star/small-star scale path.",
+    tags=("dedup", "clusters", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(simhash_signatures(docs), max_hamming=3)
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("node")), pairs.select("a", "b")
+    )
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        F.when(F.col("node") == F.col("label"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_canonical"),
+    )
 
 
 @query(
