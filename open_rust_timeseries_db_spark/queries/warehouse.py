@@ -1,0 +1,183 @@
+"""Warehouse flagship queries — TPC-H-shaped multi-join aggregations
+over the star schema (lineitem/orders/customer/supplier/nation/region).
+
+The reference is a single-table ingest engine (SURVEY.md §2.2); these
+queries are the standard warehouse workload a user of a timeseries/OLAP
+store expects on top, and they are the clearest showcase of the plans
+that matter at 100 TB:
+
+- dimension tables broadcast (no shuffle of the fact side for the
+  dim joins — asserted for the small-dim join in tests/test_plans.py);
+- filters reach the parquet scans (shipdate/orderdate predicates prune
+  row groups; at scale, partition columns);
+- aggregation is partial+final with exact decimal accumulation
+  (queries/helpers.dsum) so results are bit-stable under any partition
+  order.
+
+Shapes follow TPC-H Q1/Q3/Q5 adapted to the testdata schema (orders has
+o_orderpriority, not o_shippriority; suppliers join through nationkey).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_rust_timeseries_db_spark.queries.helpers import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from open_rust_timeseries_db_spark.queries.registry import query
+from open_rust_timeseries_db_spark.sources.catalog import load_table
+
+_Q1_CUTOFF = "2000-09-01"
+_Q3_DATE = "1996-03-15"
+_Q5_START, _Q5_END = "1996-01-01", "1997-01-01"
+
+# Both engines evaluate the identical double expression per row
+# (left-assoc products of the same operands), so the decimal-summed
+# result is bit-equal.
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev_col() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+@query(
+    "q_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity")} AS sum_qty,
+           {sql_dsum("l_extendedprice")} AS sum_base_price,
+           {sql_dsum(_REV)} AS sum_disc_price,
+           {sql_dsum(_REV + " * (1 + l_tax)")} AS sum_charge,
+           {sql_davg("l_quantity")} AS avg_qty,
+           {sql_davg("l_extendedprice")} AS avg_price,
+           {sql_davg("l_discount")} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape (pricing summary): single-pass scan with the "
+    "shipdate predicate pushed to parquet, 8 simultaneous aggregates in "
+    "one partial+final hash agg over a 6-value group key — the shuffle "
+    "carries one row per (partition, group). The canonical 'is the agg "
+    "path right' probe at any scale.",
+    tags=("warehouse", "tpch", "aggregation"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _rev_col()
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(rev).alias("sum_disc_price"),
+            dsum(rev * (F.lit(1) + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           {sql_dsum(_REV)} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_DATE}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): segment-filtered customer "
+    "broadcasts into orders, the date predicates push to both scans, "
+    "and the lineitem join shuffles only date-surviving rows; top-10 is "
+    "TakeOrderedAndProject (no global sort). Ordering made total "
+    "(revenue DESC, l_orderkey) so LIMIT is deterministic cross-engine.",
+    tags=("warehouse", "tpch", "join", "topk"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit(_Q3_DATE).cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_rev_col()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_region_revenue",
+    f"""
+    SELECT n.n_name, {sql_dsum(_REV)} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '{_Q5_START}'
+      AND o.o_orderdate < TIMESTAMP '{_Q5_END}'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): six-table star join — "
+    "region/nation/customer/supplier are broadcast dims, so lineitem "
+    "and orders shuffle once on orderkey and every other join is "
+    "map-side; the s_nationkey = c_nationkey equality is the 'local "
+    "supplier' semi-cartesian guard. The pattern that either broadcasts "
+    "or dies at 100 TB.",
+    tags=("warehouse", "tpch", "join"),
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q5_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q5_END).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (supp["s_nationkey"] == dims["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(dsum(_rev_col()).alias("revenue"))
+    )
