@@ -63,13 +63,17 @@ def connected_components(
         neighbor_labels = adj.join(
             labels, adj["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), "label")
-        # Materialized before the self-join below — referenced twice,
-        # an uncheckpointed plan would re-run the join+agg per side.
+        # Referenced twice by the self-join below, but NOT checkpointed:
+        # both sides hang off the same groupBy shuffle, which Catalyst
+        # plans as one exchange + a ReusedExchange — deduped within the
+        # round's single job. An eager checkpoint here would add a whole
+        # extra job per round (schedule + materialize) to save work the
+        # engine already shares; lineage is still truncated once per
+        # round by the new_labels checkpoint.
         propagated = (
             labels.union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         # Pointer jumping (path halving): follow one level of label
         # indirection — label <- label(label). Neighbor-min alone needs

@@ -31,6 +31,14 @@ from open_rust_timeseries_db_spark.streaming.sources import events_file_stream
 
 _WIN_US = 60_000_000  # 1-minute tumbling windows in epoch-µs
 
+# State-store partitioning for the bounded-drain verification runs:
+# state here is a few thousand windows / keys (KB-scale), so commit
+# overhead — one file+fsync per partition per micro-batch — dominates
+# any wider setting. Streaming state is not AQE-coalesced and the count
+# freezes into the checkpoint, so it is provisioned explicitly per
+# pipeline (see run_available_now_to_memory).
+_STATE_PARTS = 4
+
 
 @query(
     "q_stream_throughput",
@@ -51,7 +59,7 @@ _WIN_US = 60_000_000  # 1-minute tumbling windows in epoch-µs
 def q_stream_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_file_stream(spark, sf_dir)
     agg = windowed_throughput(stream)
-    return run_available_now_to_memory(spark, agg, mode="complete")
+    return run_available_now_to_memory(spark, agg, mode="complete", state_partitions=_STATE_PARTS)
 
 
 @query(
@@ -77,7 +85,7 @@ def q_stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty", (F.col("event_id") % 100 + 1).cast("long")
     )
     agg = running_vwap(stream, key_col="event_type", price_col="value", qty_col="qty")
-    return run_available_now_to_memory(spark, agg, mode="complete")
+    return run_available_now_to_memory(spark, agg, mode="complete", state_partitions=_STATE_PARTS)
 
 
 @query(
@@ -93,7 +101,7 @@ def q_stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_file_stream(spark, sf_dir)
     deduped = stream_dedup(stream, keys=["user_id", "event_type"])
-    return run_available_now_to_memory(spark, deduped, mode="append")
+    return run_available_now_to_memory(spark, deduped, mode="append", state_partitions=_STATE_PARTS)
 
 
 @query(
@@ -121,4 +129,4 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_file_stream(spark, sf_dir)
     agg = latency_metrics(stream, now_us=FIXED_NOW_US)
-    return run_available_now_to_memory(spark, agg, mode="complete")
+    return run_available_now_to_memory(spark, agg, mode="complete", state_partitions=_STATE_PARTS)

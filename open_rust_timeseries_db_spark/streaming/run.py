@@ -24,6 +24,7 @@ def run_available_now_to_memory(
     stream: DataFrame,
     mode: str = "complete",
     timeout_s: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain the stream with availableNow into a memory sink; return the
     result as a batch DataFrame.
@@ -31,15 +32,35 @@ def run_available_now_to_memory(
     The memory sink is driver-local — strictly a test/verification
     sink (bounded output only: aggregates or small key sets). Durable
     pipelines use :func:`foreach_batch_parquet`.
+
+    ``state_partitions`` sizes the stateful-operator partitioning.
+    Unlike batch shuffles, streaming state partitions are NOT
+    AQE-coalesced and are frozen into the checkpoint at first start, so
+    they must be provisioned to expected STATE volume explicitly: each
+    partition costs one state-store commit (file create + fsync) per
+    micro-batch, so overshooting pure overhead. The batch-session
+    default (sized for sf0.1 data shuffles) is ~10x too many for these
+    bounded windowed aggregates; a real deployment sizes this to
+    state-bytes / executor-memory-budget and scales it by re-keying the
+    checkpoint, not by AQE.
     """
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        # Captured at .start() when the stateful plan is bound; restored
+        # immediately after so batch queries are unaffected.
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     try:
         q.awaitTermination(timeout_s)
     finally:
