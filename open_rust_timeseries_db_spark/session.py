@@ -29,6 +29,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Respect the 64MB advisory size when coalescing instead of keeping
+    # one post-shuffle task per core: small shuffles collapse to the few
+    # tasks their bytes justify (cuts per-query scheduling floor ~2x
+    # locally), and at 100 TB the identical setting yields right-sized
+    # partitions. CPU-heavy-but-byte-light stages opt out with an
+    # explicit keyed repartition (see operators/dedupe.py).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     # All Python execution in this engine is Arrow-vectorized.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic wall-time semantics for tests/oracles.
