@@ -43,37 +43,64 @@ def spread_scan(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(partitions)
 
 
+def _scaled_long(c: Column) -> Column:
+    """Per-row fixed-point encode: floor(x*1e6 + 0.5) as BIGINT.
+
+    Exact while |x|*1e6 < 2^53 (per-ROW bound, ~9e9 in value — orders of
+    magnitude above any measure in the schema). floor(+0.5) is half-UP
+    (toward +inf) rounding built from IEEE ops both engines execute
+    identically — unlike ROUND(), whose implementations differ (Spark
+    detours through BigDecimal.valueOf's shortest-repr string, one
+    allocation per row and ~3x slower; DuckDB uses std::round on the
+    raw double) and can disagree within 1 ulp of a .5 boundary.
+    """
+    return F.floor(c * F.lit(1_000_000) + F.lit(0.5))
+
+
 def dsum(col: Column | str) -> Column:
-    """Order-insensitive double sum: exact DECIMAL accumulation.
+    """Order-insensitive double sum: fixed-point BIGINT accumulation.
 
     IEEE double addition is order-sensitive, and Spark's partition order
-    differs from DuckDB's scan order; summing in decimal is exact, so the
-    final double is bit-identical in both engines.
+    differs from DuckDB's scan order, so doubles are summed as
+    round(x*1e6) BIGINT — associative, whole-stage-codegen fast (a
+    DECIMAL(38,6) accumulator is ~5x slower: one BigDecimal allocation
+    per row) — and converted once at the end via CAST(S AS DOUBLE)/1e6,
+    which is pure correctly-rounded IEEE in both engines. (Converting
+    through DECIMAL instead trips DuckDB's non-correctly-rounded
+    decimal->double cast past 2^53.)
+
+    Scale note: the BIGINT sum holds value-sums up to 2^63/1e6 ~ 9.2e12
+    per group — fine to ~1e11 rows of monetary data per group. Beyond
+    that, accumulate per-partition longs and merge the partials in
+    decimal; the per-row fast path is unchanged.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double")
+    return F.sum(_scaled_long(c)).cast("double") / F.lit(1_000_000.0)
 
 
 def davg(col: Column | str) -> Column:
-    """Order-insensitive average: exact sum(decimal) -> double / count.
+    """Order-insensitive average: fixed-point sum -> double, / count.
 
-    NOT rounded: identical operands + identical IEEE ops give the same
-    double in both engines. Rounding would *add* risk — dyadic doubles
-    land exactly on .5 ties where Spark rounds HALF_UP and DuckDB
-    HALF_EVEN (e.g. a rate of exactly 1/128 = 0.0078125).
+    Identical operands + identical IEEE ops give the same double in both
+    engines; see :func:`dsum` for the accumulation scheme.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    return F.sum(_scaled_long(c)).cast("double") / F.lit(1_000_000.0) / F.count(c)
 
 
 # DuckDB-side fragments mirroring the helpers above (kept adjacent so the
 # two dialects evolve together).
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+    # CAST .. AS BIGINT collapses DuckDB's HUGEINT sum result before the
+    # double conversion (dtype parity); the /1e6 happens in double
+    # domain, mirroring dsum() exactly.
+    # Fully parenthesized: callers embed this fragment in larger
+    # arithmetic (e.g. sql_dsum(a)/sql_dsum(b)).
+    return (
+        f"(CAST(CAST(SUM(CAST(FLOOR(({expr})*1000000 + 0.5) AS BIGINT)) AS BIGINT)"
+        f" AS DOUBLE)/1000000.0)"
+    )
 
 
 def sql_davg(expr: str) -> str:
-    return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
-        f" / COUNT({expr})"
-    )
+    return f"{sql_dsum(expr)} / COUNT({expr})"

@@ -7,9 +7,9 @@ streaming DataFrame — source and sink are the caller's choice, so the
 same pipeline runs against the rate-source demo feed or the verifiable
 file stream.
 
-All aggregations use the same exact-decimal accumulation as the batch
-queries (order-insensitive across micro-batches for the same reason it
-is across partitions).
+All aggregations use the same fixed-point BIGINT accumulation as the
+batch queries (order-insensitive across micro-batches for the same
+reason it is across partitions — see queries/helpers.py dsum).
 """
 
 from __future__ import annotations
@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from open_rust_timeseries_db_spark.queries.registry import DEC
+from open_rust_timeseries_db_spark.queries.helpers import dsum
 
 
 def windowed_throughput(
@@ -60,14 +60,14 @@ def running_vwap(
 
     Output: key, n, sum_pq, sum_q, vwap.
     """
-    pq = (F.col(price_col) * F.col(qty_col)).cast(DEC)
+    pq = F.col(price_col) * F.col(qty_col)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.col(key_col).alias("key"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(pq).cast("double").alias("sum_pq"),
-            F.sum(F.col(qty_col).cast(DEC)).cast("double").alias("sum_q"),
+            dsum(pq).alias("sum_pq"),
+            dsum(F.col(qty_col)).alias("sum_q"),
         )
         .withColumn("vwap", F.col("sum_pq") / F.col("sum_q"))
     )
