@@ -208,6 +208,7 @@ def local_topk_cosine(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "q_emb",
+    exclude_self: bool = True,
 ):
     """Per-partition top-k cosine candidates for each query vector.
 
@@ -253,8 +254,11 @@ def local_topk_cosine(
             cos = (dots / FX_SCALE) / (den[:, None] * q_den[None, :])
             qs_out, ns_out, cs_out = [], [], []
             for qi in range(len(q_ids)):
-                mask = ids != q_ids[qi]  # exclude self-match
-                c_ids, c_cos = ids[mask], cos[mask, qi]
+                if exclude_self:
+                    mask = ids != q_ids[qi]  # exclude self-match
+                    c_ids, c_cos = ids[mask], cos[mask, qi]
+                else:  # cell probing: a query's own cell is a valid hit
+                    c_ids, c_cos = ids, cos[:, qi]
                 # top-k by (cosine desc, neighbor_id asc)
                 order = np.lexsort((c_ids, -c_cos))[:k]
                 qs_out.append(np.full(len(order), q_ids[qi], dtype=np.int64))

@@ -13,8 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_rust_timeseries_db_spark.functions.vectors import (
+    cosine_from_parts,
+    dot_fx_pd,
     ivf_assign,
     local_topk_cosine,
+    norm2_fx_raw,
     sql_fx_sum,
 )
 from open_rust_timeseries_db_spark.queries.registry import query
@@ -113,9 +116,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="IVF-style coarse quantization: every vector assigned to its "
     "nearest centroid (centroids = vec_id % 100 == 0, broadcast); "
-    "reports cell populations. At scale this is the index build: search "
-    "probes only the top cells (see operators in round 2); min/max per "
-    "cell are aggregation-safe (no float summation).",
+    "reports cell populations. At scale this is the index build: "
+    "q_ann_search probes only the top cells; min/max per cell are "
+    "aggregation-safe (no float summation).",
     tags=("similarity", "ann"),
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,4 +134,157 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.min("cosine").alias("min_cos"),
         F.max("cosine").alias("max_cos"),
+    )
+
+
+_NPROBE = 2
+_ANN_K = 5
+
+# Shared CTE: every vector assigned to its nearest centroid (rn = 1) —
+# identical to q_ann_ivf's assignment stage.
+_ASSIGN_CTE = f"""
+    adots AS (
+      SELECT v.vec_id AS vec_id, c.vec_id AS centroid_id,
+             {sql_fx_sum("CAST(v.e AS DOUBLE) * CAST(c.e AS DOUBLE)")} AS dot
+      FROM elems v
+      JOIN elems c ON v.i = c.i AND c.vec_id % 100 = 0
+      GROUP BY 1, 2
+    ), acos AS (
+      SELECT d.vec_id, d.centroid_id,
+             (d.dot / 1e12) / (SQRT(nv.n2 / 1e12) * SQRT(nc.n2 / 1e12)) AS cosine
+      FROM adots d
+      JOIN norms nv ON nv.vec_id = d.vec_id
+      JOIN norms nc ON nc.vec_id = d.centroid_id
+    ), members AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY cosine DESC, centroid_id
+               ) AS rn
+        FROM acos)
+      WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "q_ann_search",
+    f"""
+    WITH {_NORMS_CTE}, {_ASSIGN_CTE}, probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT a.vec_id AS query_id, a.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id ORDER BY a.cosine DESC, a.centroid_id
+               ) AS rn
+        FROM acos a WHERE a.vec_id < 10)
+      WHERE rn <= {_NPROBE}
+    ), cand AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id
+      FROM probes p JOIN members m ON m.centroid_id = p.centroid_id
+      WHERE m.vec_id <> p.query_id
+    ), sdots AS (
+      SELECT c.query_id, c.neighbor_id,
+             {sql_fx_sum("CAST(qe.e AS DOUBLE) * CAST(ve.e AS DOUBLE)")} AS dot
+      FROM cand c
+      JOIN elems qe ON qe.vec_id = c.query_id
+      JOIN elems ve ON ve.vec_id = c.neighbor_id AND ve.i = qe.i
+      GROUP BY 1, 2
+    ), scos AS (
+      SELECT d.query_id, d.neighbor_id,
+             (d.dot / 1e12) / (SQRT(nq.n2 / 1e12) * SQRT(nn.n2 / 1e12)) AS cosine
+      FROM sdots d
+      JOIN norms nq ON nq.vec_id = d.query_id
+      JOIN norms nn ON nn.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS BIGINT) AS rnk
+      FROM scos)
+    WHERE rnk <= {_ANN_K}
+    """,
+    doc="IVF probe search — the ANN query the q_ann_ivf index exists "
+    f"for: each query vector (vec_id < 10) probes its top-{_NPROBE} "
+    "cells and ranks only those cells' members, never the full corpus. "
+    "Same output shape as the brute-force q_cosine_topk, so recall of "
+    "the approximate path is directly measurable against the exact "
+    "baseline. Scale: per query, work = nprobe * (N / n_cells) instead "
+    "of N; probing and candidate scoring are broadcast joins (query "
+    "set and probe list are tiny by construction), so the only "
+    "corpus-wide work is the one assignment pass.",
+    tags=("similarity", "ann"),
+)
+def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Materialize the centroid set once: both the probe scorer and the
+    # assignment pass collect it into their task closures, and without
+    # this each collect is its own parquet-scan job.
+    centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    ).localCheckpoint(eager=True)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # Probe selection: rank ALL centroids per query (the centroid set is
+    # tiny — this is the same matrix the assignment pass ships) and keep
+    # the top nprobe. exclude_self=False: a query's own cell is its most
+    # important probe.
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    probes = (
+        local_topk_cosine(
+            centroids.select(
+                F.col("centroid_id").alias("vec_id"),
+                F.col("c_emb").alias("embedding"),
+            ),
+            queries_df,
+            k=_NPROBE,
+            exclude_self=False,
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("centroid_id"),
+            F.row_number().over(probe_w).alias("rn"),
+        )
+        .filter(F.col("rn") <= _NPROBE)
+        .drop("rn")
+    )
+    members = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+    # probes is tiny (Q * nprobe rows) -> broadcast against the member
+    # list; the surviving candidate set is nprobe cells' worth per query.
+    cand = (
+        F.broadcast(probes)
+        .join(members, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    # Attach both vectors (corpus join narrow on vec_id; query vectors
+    # broadcast) and score with the Arrow-vectorized fixed-point dot.
+    scored = (
+        cand.join(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+                  "neighbor_id")
+        .join(F.broadcast(queries_df), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_parts(
+                dot_fx_pd("embedding", "q_emb"),
+                norm2_fx_raw("embedding"),
+                norm2_fx_raw("q_emb"),
+            ).alias("cosine"),
+        )
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.row_number().over(rank_w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _ANN_K)
     )

@@ -84,6 +84,7 @@ def test_python_confined_to_designated_operators(spark, qs):
     allowed = {
         "q_cosine_topk",
         "q_ann_ivf",
+        "q_ann_search",
         "q_embedding_neardup",
         "q_frame_sample",
     }
