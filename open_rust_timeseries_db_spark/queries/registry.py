@@ -76,6 +76,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         streaming_q,
         text,
+        timeseries,
         warehouse,
     )
 

@@ -222,3 +222,79 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_same"),
     )
+
+
+@query(
+    "q_contamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok,
+             generate_subscripts({_SQL_TOKS}, 1) AS i
+      FROM documents
+    ), shingles AS (
+      SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+      FROM toks t1
+      JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+      JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+    ), test_sh AS (
+      SELECT doc_id, sh FROM shingles WHERE doc_id % 10 = 0
+    ), train_sh AS (
+      SELECT DISTINCT sh FROM shingles WHERE doc_id % 10 <> 0
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM test_sh GROUP BY doc_id
+    ), hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_overlap
+      FROM test_sh t SEMI JOIN train_sh tr ON tr.sh = t.sh
+      GROUP BY t.doc_id
+    )
+    SELECT s.doc_id,
+           s.n_shingles,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / s.n_shingles
+             AS contamination
+    FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+    """,
+    doc="Train/test contamination check — the eval-hygiene pass every "
+    "LLM data pipeline needs: for each held-out doc (doc_id % 10 = 0), "
+    "the fraction of its distinct 3-gram shingles that appear anywhere "
+    "in the training split. Shape: shingle explode -> distinct train "
+    "shingle set -> LEFT SEMI join from test shingles (never "
+    "materializes the pair list, unlike a Jaccard join). Scale: the "
+    "semi join shuffles on the shingle key; at 100 TB join on "
+    "xxhash64(shingle) to cut shuffle bytes ~4x, and bloom-filter the "
+    "train set into the test-side scan (AQE injects this "
+    "automatically for selective semi joins). Integer counts -> one "
+    "exact IEEE divide.",
+    tags=("text", "contamination", "dedup"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.functions.text import word_shingles
+    from open_rust_timeseries_db_spark.queries.helpers import spread_scan
+
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    # Shingle per doc entirely per-row (no shuffle): materialize the
+    # token array first so shingling zips cheap attribute references.
+    sh = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(F.col("toks")))).alias("sh"),
+        )
+    )
+    test_sh = sh.filter(F.col("doc_id") % 10 == 0)
+    train_sh = sh.filter(F.col("doc_id") % 10 != 0).select("sh").distinct()
+    sizes = test_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        test_sh.join(train_sh, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        (
+            F.coalesce("n_overlap", F.lit(0)).cast("double")
+            / F.col("n_shingles")
+        ).alias("contamination"),
+    )

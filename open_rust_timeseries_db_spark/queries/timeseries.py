@@ -1,0 +1,228 @@
+"""Time-series analytics: the operators a market-tick store is FOR.
+
+The reference is an HFT tick-ingest substrate (SURVEY.md §0); its
+consumers compute VWAP/latency folds but stop short of the standard
+tick-store query surface — bar resampling, gap-filling, time-weighted
+aggregates (the TimescaleDB/kdb+ staples). This module supplies them
+Spark-first over the ``events`` table (user_id ≈ symbol, value ≈ price,
+ts ≈ tick time; same shape as the reference's market schema,
+reference src/tests/integration_test.rs:128-141).
+
+Determinism notes (oracle = DuckDB, exact hash match):
+- bucket keys are integer floor-divisions of epoch-µs longs;
+- open/close use arg_min/arg_max on a TOTAL BIGINT ordering key
+  ``ts_us * 1000 + event_id % 1000`` (ts_us ~1.7e15 so the product is
+  ~1.7e18 < 2^63; (user_id, ts_us) is already unique in the testdata,
+  the event_id term makes the order total even if a feed delivers
+  same-µs ticks);
+- double sums go through the fixed-point dsum scheme (helpers.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_rust_timeseries_db_spark.queries.helpers import (
+    davg,
+    dsum,
+    events_us,
+    sql_davg,
+    sql_dsum,
+)
+from open_rust_timeseries_db_spark.queries.registry import query
+
+_HOUR_US = 3_600_000_000
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "q_ohlc_bars",
+    f"""
+    WITH k AS (
+      SELECT user_id,
+             epoch_us(ts) // {_HOUR_US} AS bucket_hour,
+             value,
+             epoch_us(ts) * 1000 + event_id % 1000 AS ord
+      FROM events
+    )
+    SELECT user_id, bucket_hour,
+           bucket_hour * {_HOUR_US} AS bucket_start_us,
+           arg_min(value, ord) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           arg_max(value, ord) AS close_v,
+           COUNT(*) AS n_ticks,
+           {sql_dsum("value")} AS volume
+    FROM k GROUP BY 1, 2
+    """,
+    doc="OHLC bar resampling — hourly open/high/low/close/volume per "
+    "symbol, THE canonical tick-store downsample (the reference's "
+    "VWAP consumer is the germ; reference "
+    "src/tests/integration_test.rs:240-256). Single shuffle on "
+    "(symbol, bucket): min_by/max_by carry (ordering key, value) "
+    "partials map-side, so open/close cost the same as min/max — no "
+    "window sort, no per-bucket row materialization. Coarser bars "
+    "(daily) re-aggregate FROM these partials (high=max(high_v), "
+    "open=min_by(open_v, first ord)) without touching raw ticks — the "
+    "hypertable continuous-aggregate pattern at 100 TB.",
+    tags=("timeseries", "ohlc", "downsample"),
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    k = ev.select(
+        "user_id",
+        F.expr(f"ts_us div {_HOUR_US}").alias("bucket_hour"),
+        "value",
+        (F.col("ts_us") * 1000 + F.col("event_id") % 1000).alias("ord"),
+    )
+    return k.groupBy("user_id", "bucket_hour").agg(
+        (F.first("bucket_hour") * _HOUR_US).alias("bucket_start_us"),
+        F.min_by("value", "ord").alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by("value", "ord").alias("close_v"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        dsum("value").alias("volume"),
+    )
+
+
+@query(
+    "q_gapfill_locf",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // {_HOUR_US} AS bucket_hour, value
+      FROM events
+    ), hourly AS (
+      SELECT user_id, bucket_hour, {sql_davg("value")} AS avg_value
+      FROM e GROUP BY 1, 2
+    ), bounds AS (
+      SELECT MIN(bucket_hour) AS lo, MAX(bucket_hour) AS hi FROM e
+    ), spine AS (
+      SELECT u.user_id, unnest(range(b.lo, b.hi + 1)) AS bucket_hour
+      FROM (SELECT DISTINCT user_id FROM e) u CROSS JOIN bounds b
+    ), filled AS (
+      SELECT s.user_id, s.bucket_hour, h.avg_value
+      FROM spine s LEFT JOIN hourly h USING (user_id, bucket_hour)
+    )
+    SELECT user_id, bucket_hour,
+           bucket_hour * {_HOUR_US} AS bucket_start_us,
+           avg_value,
+           last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_hour
+             ROWS UNBOUNDED PRECEDING
+           ) AS filled_value,
+           CAST(CASE WHEN avg_value IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM filled
+    """,
+    doc="Gap-filled hourly series with last-observation-carried-forward "
+    "— time_bucket_gapfill + locf(). A dense per-symbol bucket spine "
+    "(symbols × sequence(lo, hi), generated, never scanned) is "
+    "left-joined to the real hourly aggregate, then "
+    "last(ignorenulls) over the bucket order carries values across "
+    "gaps; leading gaps before a symbol's first tick stay NULL. Scale: "
+    "the spine is symbols × buckets rows regardless of tick count, the "
+    "raw scan aggregates straight to buckets (one shuffle), and the "
+    "LOCF window sorts only the bucketed series. The bounds row is a "
+    "broadcast, not a driver collect.",
+    tags=("timeseries", "gapfill", "locf", "window"),
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_us div {_HOUR_US}").alias("bucket_hour"), "value"
+    )
+    hourly = ev.groupBy("user_id", "bucket_hour").agg(
+        davg("value").alias("avg_value")
+    )
+    bounds = ev.agg(
+        F.min("bucket_hour").alias("lo"), F.max("bucket_hour").alias("hi")
+    )
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi")).alias("bucket_hour"),
+        )
+    )
+    filled = spine.join(hourly, ["user_id", "bucket_hour"], "left")
+    locf_w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "user_id",
+        "bucket_hour",
+        (F.col("bucket_hour") * _HOUR_US).alias("bucket_start_us"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(locf_w).alias("filled_value"),
+        F.when(F.col("avg_value").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+    )
+
+
+@query(
+    "q_time_weighted_avg",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) // {_DAY_US} AS day_bucket, value
+      FROM events
+    ), d AS (
+      SELECT user_id, day_bucket, value,
+             COALESCE(
+               LEAD(ts_us) OVER (
+                 PARTITION BY user_id, day_bucket ORDER BY ts_us
+               ),
+               (day_bucket + 1) * {_DAY_US}
+             ) - ts_us AS dt_us
+      FROM e
+    )
+    SELECT user_id, day_bucket,
+           CAST(SUM(dt_us) AS BIGINT) AS held_us,
+           COUNT(*) AS n_ticks,
+           {sql_dsum("value * (dt_us / 1000000.0)")}
+             / (CAST(CAST(SUM(dt_us) AS BIGINT) AS DOUBLE) / 1000000.0)
+             AS twap
+    FROM d GROUP BY 1, 2
+    """,
+    doc="Time-weighted average price per symbol-day (TimescaleDB "
+    "time_weight / kdb+ twap): each tick's value is held until the "
+    "next tick in the same day (the last tick holds to day end), "
+    "weights are exact integer µs. Determinism: dt_us is BIGINT "
+    "arithmetic on the lead() of a totally-ordered unique ts; the "
+    "weighted sum goes through fixed-point accumulation; the final "
+    "divide is one IEEE op on identical operands. One window sort + "
+    "one aggregation, both partitioned by (symbol, day) — "
+    "embarrassingly parallel across symbol-days at scale.",
+    tags=("timeseries", "twap", "window"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select(
+        "user_id",
+        "ts_us",
+        F.expr(f"ts_us div {_DAY_US}").alias("day_bucket"),
+        "value",
+    )
+    lead_w = Window.partitionBy("user_id", "day_bucket").orderBy("ts_us")
+    d = ev.select(
+        "user_id",
+        "day_bucket",
+        "value",
+        (
+            F.coalesce(
+                F.lead("ts_us").over(lead_w),
+                (F.col("day_bucket") + 1) * _DAY_US,
+            )
+            - F.col("ts_us")
+        ).alias("dt_us"),
+    )
+    return d.groupBy("user_id", "day_bucket").agg(
+        F.sum("dt_us").alias("held_us"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        (
+            dsum(F.col("value") * (F.col("dt_us") / F.lit(1_000_000.0)))
+            / (F.sum("dt_us").cast("double") / F.lit(1_000_000.0))
+        ).alias("twap"),
+    )
