@@ -336,3 +336,116 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "q_value_histogram",
+    f"""
+    WITH b AS (
+      SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bin, value FROM events
+    ), h AS (
+      SELECT bin, COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v,
+             {sql_dsum("value")} AS sum_v
+      FROM b GROUP BY bin
+    )
+    SELECT bin, bin * 10.0 AS bin_lo, (bin + 1) * 10.0 AS bin_hi,
+           n, min_v, max_v, sum_v,
+           CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+    FROM h
+    """,
+    doc="Equi-width histogram of the value distribution (width 10) with "
+    "per-bin share of total — the profiling pass that sizes skew "
+    "mitigation and bin-packed partitioning before a big job. One "
+    "shuffle keyed by bin; the share window runs over the tiny bin "
+    "table, not the raw rows. Bin edges are exact integer-double "
+    "products; share is one IEEE divide of exact BIGINTs.",
+    tags=("analytic", "histogram", "profiling"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.queries.helpers import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.floor(F.col("value") / 10.0).cast("bigint").alias("bin"), "value"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            dsum("value").alias("sum_v"),
+        )
+    )
+    share_w = Window.partitionBy()
+    return h.select(
+        "bin",
+        (F.col("bin") * 10.0).alias("bin_lo"),
+        ((F.col("bin") + 1) * 10.0).alias("bin_hi"),
+        "n",
+        "min_v",
+        "max_v",
+        "sum_v",
+        (F.col("n").cast("double") / F.sum("n").over(share_w)).alias("share"),
+    )
+
+
+# Per-stratum keep rates out of 1000: purchases are kept whole, the
+# noisy high-volume types are thinned hardest.
+_STRATA_RATES = (("purchase", 1000), ("signup", 500), ("error", 250))
+_DEFAULT_RATE = 100
+
+
+def _sql_rate() -> str:
+    whens = " ".join(
+        f"WHEN event_type = '{t}' THEN {r}" for t, r in _STRATA_RATES
+    )
+    return f"CASE {whens} ELSE {_DEFAULT_RATE} END"
+
+
+@query(
+    "q_stratified_sample",
+    f"""
+    WITH s AS (
+      SELECT event_id, event_type, user_id, value,
+             {_sql_rate()} AS rate_permille,
+             CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000 AS h_mod
+      FROM events
+    )
+    SELECT event_id, event_type, user_id, value, rate_permille
+    FROM s WHERE h_mod < rate_permille
+    """,
+    doc="Deterministic stratified sampling — per-class keep rates "
+    "(purchase 100%, signup 50%, error 25%, rest 10%) decided by a "
+    "content hash (md5 of the row key) instead of an RNG, so the "
+    "sample is reproducible across engines, retries, and reruns — the "
+    "property an LLM-data pipeline needs for auditable corpus "
+    "downsampling (sampleBy() is seeded per-partition and not "
+    "cross-engine stable). Pure narrow map+filter: no shuffle, filter "
+    "runs map-side at scan speed, and the hash partitions the keep "
+    "decision uniformly within every stratum.",
+    tags=("analytic", "sampling", "stratified"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rate = F.lit(_DEFAULT_RATE)
+    for t, r in reversed(_STRATA_RATES):
+        rate = F.when(F.col("event_type") == t, F.lit(r)).otherwise(rate)
+    h_mod = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "user_id",
+            "value",
+            rate.cast("int").alias("rate_permille"),
+            h_mod.alias("h_mod"),
+        )
+        .filter(F.col("h_mod") < F.col("rate_permille"))
+        .drop("h_mod")
+    )

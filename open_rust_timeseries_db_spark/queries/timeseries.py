@@ -88,6 +88,49 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ohlc_daily_rollup",
+    f"""
+    WITH k AS (
+      SELECT user_id,
+             epoch_us(ts) // {_DAY_US} AS day_bucket,
+             value,
+             epoch_us(ts) * 1000 + event_id % 1000 AS ord
+      FROM events
+    )
+    SELECT user_id, day_bucket,
+           arg_min(value, ord) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           arg_max(value, ord) AS close_v,
+           COUNT(*) AS n_ticks,
+           {sql_dsum("value")} AS volume
+    FROM k GROUP BY 1, 2
+    """,
+    doc="Daily OHLC bars computed by RE-AGGREGATING the hourly bars of "
+    "q_ohlc_bars — the hypertable continuous-aggregate pattern: open = "
+    "open of the earliest non-empty hour (min_by on bucket_hour), "
+    "high/low = max/min of hourly highs/lows, volume re-enters the "
+    "fixed-point fold. The oracle computes daily bars DIRECTLY from "
+    "raw ticks, so an exact hash match proves the rollup hierarchy is "
+    "lossless — at 100 TB the daily view reads 24x fewer rows than the "
+    "tick table and never rescans raw data.",
+    tags=("timeseries", "ohlc", "rollup"),
+)
+def q_ohlc_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = q_ohlc_bars(spark, sf_dir).withColumn(
+        "day_bucket", F.expr(f"bucket_hour div {_DAY_US // _HOUR_US}")
+    )
+    return hourly.groupBy("user_id", "day_bucket").agg(
+        F.min_by("open_v", "bucket_hour").alias("open_v"),
+        F.max("high_v").alias("high_v"),
+        F.min("low_v").alias("low_v"),
+        F.max_by("close_v", "bucket_hour").alias("close_v"),
+        F.sum("n_ticks").alias("n_ticks"),
+        dsum("volume").alias("volume"),
+    )
+
+
+@query(
     "q_gapfill_locf",
     f"""
     WITH e AS (
