@@ -36,15 +36,25 @@ def asof_join(
     right_values: list[str],
     tiebreak: str | None = None,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join of ``left`` to ``right`` on key ``on``.
+    """As-of join of ``left`` to ``right`` on key ``on``.
+
+    ``direction="backward"`` (default) attaches the most recent right
+    row with ``right_ts <= left_ts``; ``direction="forward"`` attaches
+    the nearest following right row with ``right_ts >= left_ts`` (DuckDB
+    ``ASOF JOIN ... ON l.ts <= r.ts``). Forward is backward on reversed
+    time: the only change is the window's timestamp sort order — cost
+    and shuffle shape are identical.
 
     ``right_values`` are carried to the output as ``asof_<name>``;
     ``asof_ts`` carries the matched right timestamp. ``how`` is
-    ``"inner"`` (drop left rows with no prior right row) or ``"left"``.
+    ``"inner"`` (drop left rows with no match) or ``"left"``.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     l_cols = left.columns
     # Right rows carry the tiebreak so equal-ts right duplicates have a
@@ -72,7 +82,11 @@ def asof_join(
         *rhs_tb,
     )
 
-    order: list[Column] = [F.col("__ts"), F.col("__tag")]
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
+    # __tag stays ascending in both directions: at the boundary
+    # timestamp the right row (tag 0) must precede the left row so the
+    # equal-ts match is included in the preceding frame.
+    order: list[Column] = [ts_order, F.col("__tag")]
     if tiebreak is not None:
         order.append(F.col("__tb").asc_nulls_first())
 

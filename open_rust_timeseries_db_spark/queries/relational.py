@@ -219,6 +219,60 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_forward",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           c.ts_us AS click_ts_us,
+           p.ts_us AS purchase_ts_us,
+           p.ts_us - c.ts_us AS wait_us,
+           p.value AS purchase_value
+    FROM clicks c
+    ASOF JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+    """,
+    doc="Forward as-of join — each click matched to the user's NEXT "
+    "purchase (time-to-conversion). Same one-shuffle union+window "
+    "operator as q_asof_join with the timestamp sort reversed "
+    "(operators/asof.py direction='forward'); oracle is DuckDB's "
+    "native forward ASOF JOIN (l.ts <= r.ts).",
+    tags=("relational", "join", "asof"),
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_values=["value"],
+        how="inner",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("asof_ts").alias("purchase_ts_us"),
+        (F.col("asof_ts") - F.col("ts_us")).alias("wait_us"),
+        F.col("asof_value").alias("purchase_value"),
+    )
+
+
+@query(
     "q_rollup_revenue",
     f"""
     SELECT l_returnflag, l_linestatus,

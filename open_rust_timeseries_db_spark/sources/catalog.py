@@ -127,6 +127,15 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
         pass
 
 
+# Resolved-table cache, keyed per Spark application: spark.read.parquet
+# pays a footer read + file listing (~150-250 ms locally) every call,
+# and the testdata is immutable for the life of a session. A warm
+# catalog handing back the analyzed base relation is exactly what a
+# long-lived engine does; all downstream plan building is unaffected
+# (each query still composes fresh operators on the cached scan).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; validates the declared schema by name set.
 
@@ -136,13 +145,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     _ensure_nanos_conf(spark)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     declared = [f.name for f in TABLES[name].fields]
     missing = set(declared) - set(df.columns)
     if missing:
         raise ValueError(f"table {name!r} at {path} missing columns {sorted(missing)}")
-    return df.select(*declared)
+    out = df.select(*declared)
+    _TABLE_CACHE[key] = out
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:

@@ -78,3 +78,49 @@ def test_duplicate_right_ts_deterministic_with_tiebreak(spark):
         tiebreak="seq",
     )
     assert got == {(1, 100): (90, 2.0)}
+
+
+def _run_fwd(spark, left_rows, right_rows, how="inner", tiebreak=None):
+    left = spark.createDataFrame(left_rows, L_SCHEMA)
+    right = spark.createDataFrame(right_rows, R_SCHEMA)
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_values=["v"], how=how, tiebreak=tiebreak,
+        direction="forward",
+    )
+    return {(r["k"], r["lts"]): (r["asof_ts"], r["asof_v"]) for r in out.collect()}
+
+
+def test_forward_nearest_following(spark):
+    got = _run_fwd(
+        spark,
+        [(1, 100, "a"), (1, 200, "b"), (1, 500, "c")],
+        [(1, 150, 15.0, 1), (1, 300, 30.0, 2)],
+    )
+    # 100 -> 150 (nearest future), 200 -> 300, 500 has no future: dropped
+    assert got == {(1, 100): (150, 15.0), (1, 200): (300, 30.0)}
+
+
+def test_forward_equal_timestamp_matches(spark):
+    """left_ts == right_ts must match (<= semantics)."""
+    got = _run_fwd(spark, [(1, 100, "a")], [(1, 100, 10.0, 1)])
+    assert got == {(1, 100): (100, 10.0)}
+
+
+def test_forward_left_keeps_unmatched(spark):
+    got = _run_fwd(
+        spark, [(1, 100, "a"), (1, 900, "z")], [(1, 150, 15.0, 1)], how="left"
+    )
+    assert got == {(1, 100): (150, 15.0), (1, 900): (None, None)}
+
+
+def test_forward_duplicate_right_ts_tiebreak(spark):
+    """Equal future right timestamps: greatest tiebreak wins (same rule
+    as backward)."""
+    got = _run_fwd(
+        spark,
+        [(1, 100, "a")],
+        [(1, 200, 1.0, 1), (1, 200, 2.0, 2)],
+        tiebreak="seq",
+    )
+    assert got == {(1, 100): (200, 2.0)}
