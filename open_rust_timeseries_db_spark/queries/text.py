@@ -274,13 +274,20 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     # Shingle per doc entirely per-row (no shuffle): materialize the
     # token array first so shingling zips cheap attribute references.
-    sh = (
+    # The shingle set feeds THREE consumers (test sizes, test hits,
+    # train distinct) and Spark shares no subplans across branches, so
+    # localCheckpoint the per-doc arrays once — the tokenize+shingle
+    # pass is the expensive part; the downstream explodes then read the
+    # materialized arrays instead of re-shingling the corpus 3x. Same
+    # move a real pipeline makes by persisting its shingle table.
+    arrays = (
         docs.select("doc_id", tokens("text").alias("toks"))
         .select(
-            "doc_id",
-            F.explode(F.array_distinct(word_shingles(F.col("toks")))).alias("sh"),
+            "doc_id", F.array_distinct(word_shingles(F.col("toks"))).alias("shs")
         )
+        .localCheckpoint(eager=False)
     )
+    sh = arrays.select("doc_id", F.explode("shs").alias("sh"))
     test_sh = sh.filter(F.col("doc_id") % 10 == 0)
     train_sh = sh.filter(F.col("doc_id") % 10 != 0).select("sh").distinct()
     sizes = test_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))

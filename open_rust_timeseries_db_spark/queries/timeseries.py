@@ -174,20 +174,28 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_us(spark, sf_dir).select(
         "user_id", F.expr(f"ts_us div {_HOUR_US}").alias("bucket_hour"), "value"
     )
-    hourly = ev.groupBy("user_id", "bucket_hour").agg(
-        davg("value").alias("avg_value")
+    # The hourly aggregate feeds both the gap-fill join and the spine
+    # derivation; checkpointing the tiny bucketed table (symbols ×
+    # occupied buckets) makes the raw tick scan run ONCE.
+    hourly = (
+        ev.groupBy("user_id", "bucket_hour")
+        .agg(davg("value").alias("avg_value"))
+        .localCheckpoint(eager=False)
     )
-    bounds = ev.agg(
-        F.min("bucket_hour").alias("lo"), F.max("bucket_hour").alias("hi")
+    # Global bucket bounds and the symbol list both derive from the
+    # tiny hourly aggregate — one raw-events pass total, not three
+    # (raw-agg for buckets + raw-agg for bounds + raw-distinct for
+    # symbols). The global min/max is a window over the per-symbol
+    # bounds (symbols × 2 longs), essentially free.
+    per_user = hourly.groupBy("user_id").agg(
+        F.min("bucket_hour").alias("u_lo"), F.max("bucket_hour").alias("u_hi")
     )
-    spine = (
-        ev.select("user_id")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "user_id",
-            F.explode(F.sequence("lo", "hi")).alias("bucket_hour"),
-        )
+    bounds = per_user.agg(
+        F.min("u_lo").alias("lo"), F.max("u_hi").alias("hi")
+    )
+    spine = per_user.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi")).alias("bucket_hour"),
     )
     filled = spine.join(hourly, ["user_id", "bucket_hour"], "left")
     locf_w = (
