@@ -58,6 +58,34 @@ def connected_components(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=True)
 
+    # Right-size the iteration's shuffle partitioning ONCE from the
+    # (checkpointed, so cheaply countable) state size instead of
+    # letting every round re-derive it: each round is several tiny
+    # shuffles, and at default partition counts the per-round cost is
+    # dominated by scheduling empty tasks + AQE replanning (~2x the
+    # round time at small graph sizes). ~500k rows per partition keeps
+    # a partition's join state comfortably in memory at any scale; the
+    # cluster-configured ceiling is respected so a 100 TB graph still
+    # fans out fully.
+    spark = nodes.sparkSession
+    state_rows = max(adj.count(), labels.count())
+    conf_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        ceiling = int(conf_parts)
+    except ValueError:  # e.g. "auto" on some builds
+        ceiling = 200
+    iter_parts = max(1, min(ceiling, state_rows // 500_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
+    try:
+        labels = _propagate_to_fixpoint(adj, labels, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", conf_parts)
+    return labels
+
+
+def _propagate_to_fixpoint(
+    adj: DataFrame, labels: DataFrame, max_iter: int
+) -> DataFrame:
     prev_sum = None
     for _ in range(max_iter):
         neighbor_labels = adj.join(
