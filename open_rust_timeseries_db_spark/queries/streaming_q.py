@@ -130,3 +130,51 @@ def q_stream_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_file_stream(spark, sf_dir)
     agg = latency_metrics(stream, now_us=FIXED_NOW_US)
     return run_available_now_to_memory(spark, agg, mode="complete", state_partitions=_STATE_PARTS)
+
+
+@query(
+    "q_stream_enrich",
+    f"""
+    WITH ltv AS (
+      SELECT user_id, {sql_dsum("value")} AS ltv
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(FLOOR(l.ltv / 1000) AS BIGINT) AS tier,
+           COUNT(*) AS n_purchases,
+           {sql_dsum("e.value")} AS purchase_value
+    FROM events e JOIN ltv l ON l.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Stream-static enrichment join — the standard streaming "
+    "pattern for dimension lookup: each streamed purchase is joined "
+    "map-side to a BROADCAST static dimension (per-user lifetime "
+    "value, computed batch-side from the same table), then aggregated "
+    "by derived tier. The static side is planned once and rebroadcast "
+    "per micro-batch; no stream-side state beyond the final "
+    "aggregation. At scale the dim table is the thing you keep small "
+    "(or pre-bucket); the stream never shuffles before the aggregate.",
+    tags=("streaming", "join", "enrich"),
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.queries.helpers import dsum
+    from open_rust_timeseries_db_spark.sources.catalog import load_table
+
+    user_ltv = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(dsum("value").alias("ltv"))
+    )
+    stream = events_file_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    enriched = stream.join(F.broadcast(user_ltv), "user_id").withColumn(
+        "tier", F.floor(F.col("ltv") / 1000).cast("bigint")
+    )
+    agg = enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum("value").alias("purchase_value"),
+    )
+    return run_available_now_to_memory(
+        spark, agg, mode="complete", state_partitions=_STATE_PARTS
+    )
