@@ -108,3 +108,97 @@ def running_vwap_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- transformWithStateInPandas (Spark 4 stateful API) ---------------
+
+RUNNING_MINMAX_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("min_v", T.DoubleType()),
+        T.StructField("max_v", T.DoubleType()),
+    ]
+)
+
+_MINMAX_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("min_v", T.DoubleType()),
+        T.StructField("max_v", T.DoubleType()),
+    ]
+)
+
+
+def running_minmax_stateful(
+    stream: DataFrame,
+    key_col: str = "symbol_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Running per-key min/max/count via ``transformWithStateInPandas``
+    — the Spark 4 arbitrary-state API (typed ValueState, timers, state
+    TTL) superseding ``applyInPandasWithState``.
+
+    Mirrors the reference's lock-free running-max consumer and
+    min/max/count latency fold (reference
+    src/tests/integration_test.rs:80-93, :334-357): state is per-key
+    O(1) scalars merged with min/max — order-insensitive, so replayed
+    or reordered micro-batches converge to the same result.
+
+    Requires the RocksDB state-store provider (the transformWithState
+    backend); set on the session here, which affects only streaming
+    queries started afterwards. Runtime dependency: the state-server
+    protocol is protobuf-based, so the ``google.protobuf`` python
+    package must be installed on driver and executors (the pyspark
+    wheel does not bundle it); the test gates on its presence.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningMinMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState("acc", _MINMAX_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prev = self._acc.get() if self._acc.exists() else None
+            n, mn, mx = prev if prev is not None else (0, None, None)
+            for pdf in rows:
+                vals = pdf[value_col].astype("float64")
+                if len(vals) == 0:
+                    continue
+                n += len(vals)
+                bmin, bmax = float(vals.min()), float(vals.max())
+                mn = bmin if mn is None else min(mn, bmin)
+                mx = bmax if mx is None else max(mx, bmax)
+            self._acc.update((n, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series([key[0]], dtype="int64"),
+                    "n": pd.Series([n], dtype="int64"),
+                    "min_v": pd.Series([mn], dtype="float64"),
+                    "max_v": pd.Series([mx], dtype="float64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark = stream.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return (
+        stream.select(key_col, value_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            RunningMinMax(),
+            outputStructType=RUNNING_MINMAX_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

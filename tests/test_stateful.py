@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -81,3 +82,88 @@ def test_running_vwap_state_across_batches(spark, tmp_path):
         final = max(emitted, key=lambda r: r["n"])
         assert (final["n"], final["sum_pq_fx"], final["sum_q"]) == want[key]
         assert final["vwap"] == (final["sum_pq_fx"] / 1_000_000) / final["sum_q"]
+
+
+def _protobuf_available() -> bool:
+    # transformWithState's state-server protocol is protobuf-based; the
+    # pyspark wheel does not bundle the python protobuf package.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas requires the google.protobuf "
+    "package (not installed in this container); the operator is "
+    "exercised wherever protobuf is present",
+)
+def test_transform_with_state_running_minmax(spark, tmp_path):
+    """transformWithStateInPandas: per-key min/max/count state must
+    survive micro-batches and converge to the batch-computed truth."""
+    from open_rust_timeseries_db_spark.streaming.stateful import (
+        RUNNING_MINMAX_SCHEMA,
+        running_minmax_stateful,
+    )
+
+    src_dir = str(tmp_path / "vals")
+    vals_schema = T.StructType(
+        [
+            T.StructField("symbol_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    data = spark.range(0, 3000).select(
+        (F.col("id") % 4 + 100).alias("symbol_id"),
+        ((F.col("id") % 997) * 0.5 - 100.0).alias("value"),
+    )
+    data.repartition(3).write.mode("overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(vals_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = running_minmax_stateful(stream, key_col="symbol_id", value_col="value")
+    assert out.schema == RUNNING_MINMAX_SCHEMA
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("minmax_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    rows = spark.table("minmax_state").collect()
+    # Multiple micro-batches touched each key -> multiple changelog
+    # rows; the LAST (largest n) must equal the batch truth.
+    last = {}
+    for r in rows:
+        if r["key"] not in last or r["n"] > last[r["key"]]["n"]:
+            last[r["key"]] = r
+    truth = {
+        r["symbol_id"]: r
+        for r in data.groupBy("symbol_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .collect()
+    }
+    assert set(last) == set(truth)
+    for k, t in truth.items():
+        got = last[k]
+        assert got["n"] == t["n"]
+        assert got["min_v"] == t["min_v"]
+        assert got["max_v"] == t["max_v"]
+    assert len(rows) > len(truth)  # state actually crossed batches
