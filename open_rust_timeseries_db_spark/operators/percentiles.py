@@ -58,3 +58,39 @@ def approx_percentiles(
     return out.select(
         *[F.element_at("__pcts", i + 1).alias(name) for i, (name, _) in enumerate(percentiles)]
     )
+
+
+def nearest_rank_percentiles_by(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    percentiles: list[tuple[str, float]],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key exact nearest-rank percentiles — one row per key.
+
+    Same semantics as :func:`nearest_rank_percentiles` with the sort
+    scoped per key: the window sorts within each key's partition, so
+    parallelism is per-key (the grouped form scales where the global
+    form's single-task sort does not — the usual way exact percentiles
+    survive at scale is exactly this, computing them per shard/tenant).
+    """
+    order = [F.col(value_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    ranked = df.select(
+        F.col(key_col),
+        F.col(value_col),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(key_col)).alias("__n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("__rn")
+                == F.round(F.lit(p) * (F.col("__n") - 1)).cast("bigint") + 1,
+                F.col(value_col),
+            )
+        ).alias(name)
+        for name, p in percentiles
+    ] + [F.max("__n").cast("bigint").alias("n")]
+    return ranked.groupBy(key_col).agg(*aggs)

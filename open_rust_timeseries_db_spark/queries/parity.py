@@ -333,3 +333,47 @@ def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
         & (F.col("l_quantity") < 10)
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "q_group_percentiles",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(ROUND(0.50 * (n - 1)) AS BIGINT) + 1
+                    THEN value END) AS p50,
+           MAX(CASE WHEN rn = CAST(ROUND(0.90 * (n - 1)) AS BIGINT) + 1
+                    THEN value END) AS p90,
+           MAX(CASE WHEN rn = CAST(ROUND(0.99 * (n - 1)) AS BIGINT) + 1
+                    THEN value END) AS p99,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM ranked GROUP BY event_type
+    """,
+    doc="Exact nearest-rank percentiles PER KEY (reference's percentile "
+    "formula, src/tests/integration_test.rs:359-364, scoped per "
+    "event_type) — the grouped form is how exact percentiles survive "
+    "at scale: each key sorts independently in its own partition "
+    "instead of one global single-task sort. Total tie-break "
+    "(value, event_id) keeps rank assignment deterministic.",
+    tags=("parity", "percentile", "window"),
+)
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.operators.percentiles import (
+        nearest_rank_percentiles_by,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return nearest_rank_percentiles_by(
+        ev,
+        key_col="event_type",
+        value_col="value",
+        percentiles=[("p50", 0.50), ("p90", 0.90), ("p99", 0.99)],
+        tiebreak="event_id",
+    )
