@@ -235,3 +235,75 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("l_discount", "l_tax").alias("min_rate"),
         (F.col("l_orderkey") % 7).cast("bigint").alias("mod7"),
     )
+
+
+@query(
+    "q_stats_moments",
+    f"""
+    WITH b AS (
+      SELECT event_type, value AS x,
+             CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE)
+               AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             {sql_dsum("x")} AS sx,
+             {sql_dsum("y")} AS sy,
+             {sql_dsum("x * x")} AS sxx,
+             {sql_dsum("y * y")} AS syy,
+             {sql_dsum("x * y")} AS sxy
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n,
+           sx / n AS mean_x,
+           sxx / n - (sx / n) * (sx / n) AS var_pop_x,
+           SQRT(sxx / n - (sx / n) * (sx / n)) AS stddev_pop_x,
+           sxy / n - (sx / n) * (sy / n) AS covar_pop,
+           (sxy / n - (sx / n) * (sy / n))
+             / (SQRT(sxx / n - (sx / n) * (sx / n))
+                * SQRT(syy / n - (sy / n) * (sy / n))) AS corr
+    FROM s
+    """,
+    doc="Statistical aggregates per key — mean, population variance / "
+    "stddev, covariance, Pearson correlation (value vs props.k). "
+    "Built-in var_pop/corr accumulate IEEE doubles in partition order "
+    "(non-deterministic cross-engine), so the moments are assembled "
+    "from fixed-point BIGINT sums (Σx, Σx², Σxy — exact, associative; "
+    "one shuffle, map-side partials) and combined with an identical "
+    "IEEE op sequence in both engines. The two-pass textbook form is "
+    "avoided: one scan, five sums.",
+    tags=("functions", "statistics", "agg"),
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.queries.helpers import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.get_json_object("props", "$.k").cast("bigint").cast("double").alias("y"),
+    )
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    mean_x = F.col("sx") / n
+    mean_y = F.col("sy") / n
+    var_x = F.col("sxx") / n - mean_x * mean_x
+    var_y = F.col("syy") / n - mean_y * mean_y
+    covar = F.col("sxy") / n - mean_x * mean_y
+    return s.select(
+        "event_type",
+        "n",
+        mean_x.alias("mean_x"),
+        var_x.alias("var_pop_x"),
+        F.sqrt(var_x).alias("stddev_pop_x"),
+        covar.alias("covar_pop"),
+        (covar / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr"),
+    )
