@@ -528,3 +528,61 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         l1.alias("l1_norm"),
         l2.alias("l2_norm"),
     )
+
+
+_CAL_DAY_US = 86_400_000_000
+
+
+@query(
+    "q_recursive_calendar",
+    f"""
+    WITH RECURSIVE cal(day_bucket) AS (
+      SELECT MIN(epoch_us(ts) // {_CAL_DAY_US}) FROM events
+      UNION ALL
+      SELECT day_bucket + 1 FROM cal
+      WHERE day_bucket < (SELECT MAX(epoch_us(ts) // {_CAL_DAY_US}) FROM events)
+    ), daily AS (
+      SELECT epoch_us(ts) // {_CAL_DAY_US} AS day_bucket, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT c.day_bucket,
+           c.day_bucket * {_CAL_DAY_US} AS day_start_us,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           CAST(SUM(COALESCE(d.n, 0)) OVER (
+             ORDER BY c.day_bucket ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_events
+    FROM cal c LEFT JOIN daily d ON d.day_bucket = c.day_bucket
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE — run as genuine "
+    "recursion on BOTH engines, not emulated): the calendar spine is "
+    "derived recursively from the data's own min/max day, left-joined "
+    "to daily counts with empty days zero-filled, plus a running "
+    "cumulative total. Recursion depth = days of history (bounded, "
+    "driver-side iteration of tiny frames); the heavy side — the daily "
+    "aggregate — is one ordinary shuffle. Complements the iterative "
+    "DataFrame loop of q_dedup_clusters: both fixpoint styles are "
+    "first-class.",
+    tags=("relational", "recursive", "calendar"),
+)
+def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events_us(spark, sf_dir).createOrReplaceTempView("events_v")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE cal(day_bucket) AS (
+          SELECT MIN(ts_us div {_CAL_DAY_US}) FROM events_v
+          UNION ALL
+          SELECT day_bucket + 1 FROM cal
+          WHERE day_bucket < (SELECT MAX(ts_us div {_CAL_DAY_US}) FROM events_v)
+        ), daily AS (
+          SELECT ts_us div {_CAL_DAY_US} AS day_bucket, COUNT(*) AS n
+          FROM events_v GROUP BY 1
+        )
+        SELECT c.day_bucket,
+               c.day_bucket * {_CAL_DAY_US} AS day_start_us,
+               CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+               CAST(SUM(COALESCE(d.n, 0)) OVER (
+                 ORDER BY c.day_bucket ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_events
+        FROM cal c LEFT JOIN daily d ON d.day_bucket = c.day_bucket
+        """
+    )

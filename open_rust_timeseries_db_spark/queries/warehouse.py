@@ -181,3 +181,46 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(_rev_col()).alias("revenue"))
     )
+
+
+@query(
+    "q_unpivot_measures",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             {sql_dsum("l_quantity")} AS sum_qty,
+             {sql_dsum("l_extendedprice")} AS sum_price,
+             {sql_dsum("l_discount")} AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value FROM (
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM s
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM s
+      UNION ALL
+      SELECT l_returnflag, 'sum_disc', sum_disc FROM s
+    )
+    """,
+    doc="UNPIVOT (wide -> long): per-returnflag measure columns melted "
+    "to (key, measure, value) rows — the inverse of q_pivot_revenue, "
+    "and the shape normalization step metric pipelines need before a "
+    "generic sink. Spark's unpivot() expands AFTER the aggregation, so "
+    "the melt multiplies a tiny grouped frame, never the fact scan; "
+    "the oracle's UNION-ALL form scans its 3-row CTE three times "
+    "(DuckDB materializes CTEs — on Spark that shape would re-run the "
+    "aggregate per branch, the exact trap unpivot avoids).",
+    tags=("warehouse", "unpivot", "reshape"),
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"),
+    )
+    return s.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
