@@ -449,3 +449,102 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h_mod") < F.col("rate_permille"))
         .drop("h_mod")
     )
+
+
+_DAY_US_A = 86_400_000_000
+
+
+@query(
+    "q_event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_then_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+    doc="Ordered event funnel (view -> click -> purchase): stage k "
+    "counts users whose earliest stage-k event strictly follows their "
+    "earliest qualifying stage-(k-1) event. Each stage is one filtered "
+    "aggregation joined to the (small) prior-stage frame — the "
+    "cascade's intermediate frames shrink monotonically, so at scale "
+    "every stage after the first is a broadcast join against a "
+    "per-user frame, never a self-join of the event log.",
+    tags=("analytic", "funnel", "sequence"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    return (
+        ev.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_then_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    f"""
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // {_DAY_US_A} AS day FROM events
+    ), f AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           d.day - f.cohort_day AS day_offset,
+           COUNT(DISTINCT d.user_id) AS n_active
+    FROM d JOIN f ON f.user_id = d.user_id
+    WHERE d.day - f.cohort_day BETWEEN 0 AND 7
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohorts: users grouped by first-seen day, activity "
+    "counted per day-offset for the first week — the standard "
+    "engagement matrix. The first-seen frame is per-user tiny "
+    "(broadcast side); the distinct-count aggregation is the only "
+    "event-log shuffle. All integers, so parity is exact.",
+    tags=("analytic", "retention", "cohort"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = events_us(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_us div {_DAY_US_A}").alias("day")
+    )
+    f = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(F.broadcast(f), "user_id")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
