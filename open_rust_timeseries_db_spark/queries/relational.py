@@ -536,11 +536,12 @@ _CAL_DAY_US = 86_400_000_000
 @query(
     "q_recursive_calendar",
     f"""
-    WITH RECURSIVE cal(day_bucket) AS (
-      SELECT MIN(epoch_us(ts) // {_CAL_DAY_US}) FROM events
+    WITH RECURSIVE cal(day_bucket, hi) AS (
+      SELECT MIN(epoch_us(ts) // {_CAL_DAY_US}),
+             MAX(epoch_us(ts) // {_CAL_DAY_US})
+      FROM events
       UNION ALL
-      SELECT day_bucket + 1 FROM cal
-      WHERE day_bucket < (SELECT MAX(epoch_us(ts) // {_CAL_DAY_US}) FROM events)
+      SELECT day_bucket + 1, hi FROM cal WHERE day_bucket < hi
     ), daily AS (
       SELECT epoch_us(ts) // {_CAL_DAY_US} AS day_bucket, COUNT(*) AS n
       FROM events GROUP BY 1
@@ -555,7 +556,10 @@ _CAL_DAY_US = 86_400_000_000
     """,
     doc="Recursive CTE (Spark 4 WITH RECURSIVE — run as genuine "
     "recursion on BOTH engines, not emulated): the calendar spine is "
-    "derived recursively from the data's own min/max day, left-joined "
+    "derived recursively from the data's own min/max day (the upper "
+    "bound rides along the recursion — a scalar subquery in the "
+    "recursive step would rescan the fact table every iteration), "
+    "left-joined "
     "to daily counts with empty days zero-filled, plus a running "
     "cumulative total. Recursion depth = days of history (bounded, "
     "driver-side iteration of tiny frames); the heavy side — the daily "
@@ -568,11 +572,11 @@ def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_us(spark, sf_dir).createOrReplaceTempView("events_v")
     return spark.sql(
         f"""
-        WITH RECURSIVE cal(day_bucket) AS (
-          SELECT MIN(ts_us div {_CAL_DAY_US}) FROM events_v
+        WITH RECURSIVE cal(day_bucket, hi) AS (
+          SELECT MIN(ts_us div {_CAL_DAY_US}), MAX(ts_us div {_CAL_DAY_US})
+          FROM events_v
           UNION ALL
-          SELECT day_bucket + 1 FROM cal
-          WHERE day_bucket < (SELECT MAX(ts_us div {_CAL_DAY_US}) FROM events_v)
+          SELECT day_bucket + 1, hi FROM cal WHERE day_bucket < hi
         ), daily AS (
           SELECT ts_us div {_CAL_DAY_US} AS day_bucket, COUNT(*) AS n
           FROM events_v GROUP BY 1
