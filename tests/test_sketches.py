@@ -46,3 +46,31 @@ def test_approx_percentile_brackets_exact(spark):
     ]:
         a, e = float(approx[a_col]), float(exact[e_col])
         assert abs(a - e) / e <= 0.01, f"{a_col}: {a} vs exact {e}"
+
+
+def test_ann_search_recall_against_exact(spark):
+    """IVF nprobe search must recover most of the exact top-k: the
+    accuracy contract of the approximate path (same spirit as the
+    sketch error bounds). Recall@5 over the query set, macro-averaged."""
+    from tests.conftest import SF_DIR
+    from open_rust_timeseries_db_spark.queries import all_queries
+
+    qs = all_queries()
+    exact = qs["q_cosine_topk"].fn(spark, SF_DIR).collect()
+    approx = qs["q_ann_search"].fn(spark, SF_DIR).collect()
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # Same query universe (vec_id < 10 on both sides).
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    macro = sum(recalls) / len(recalls)
+    # nprobe=2 of ~50 cells at sf0.001; random cells would give ~4%
+    # recall — the probe ranking has to be doing the work.
+    assert macro >= 0.5, f"macro recall@5 {macro:.2f}, per-query {recalls}"
