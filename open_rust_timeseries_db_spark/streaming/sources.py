@@ -23,6 +23,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from open_rust_timeseries_db_spark.sources.catalog import TABLES
 
@@ -89,3 +90,66 @@ def events_file_stream(
     return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
         "ts_ts", F.timestamp_micros(F.col("ts_us"))
     )
+
+
+# The reference's ring maps 1:1 onto a Kafka topic: ring capacity ->
+# maxOffsetsPerTrigger (bounded intake per micro-batch), per-field rings
+# -> one topic with a typed payload (the row-atomic upgrade of the
+# reference's lockstep per-field stitch, src/storage/table.rs:99-106),
+# sequence-number publish protocol -> partition offsets + checkpoint.
+MARKET_TICK_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol_id", T.IntegerType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("quantity", T.IntegerType()),
+        T.StructField("ts", T.LongType()),  # epoch-nanos, reference unit
+        T.StructField("exchange_id", T.IntegerType()),
+    ]
+)
+
+
+def kafka_market_stream_options(
+    bootstrap_servers: str,
+    topic: str,
+    max_offsets_per_trigger: int = 16_384,
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """Kafka source options for a market-tick topic.
+
+    ``max_offsets_per_trigger`` defaults to the reference's integration
+    ring capacity (16,384 slots/field, reference
+    src/tests/integration_test.rs:15) — the same bounded-intake role.
+    Kept as a plain dict so it is unit-testable without a broker.
+    """
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "maxOffsetsPerTrigger": str(max_offsets_per_trigger),
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",  # drop-oldest retention analog
+    }
+
+
+def kafka_market_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    **kwargs: int | str,
+) -> DataFrame:
+    """Market-tick stream from Kafka: JSON payloads -> typed columns.
+
+    Requires the spark-sql-kafka connector on the classpath (not
+    bundled in this container — the options builder above carries the
+    unit-tested mapping; this function is the thin ``load`` + decode).
+    """
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_market_stream_options(
+        bootstrap_servers, topic, **kwargs  # type: ignore[arg-type]
+    ).items():
+        reader = reader.option(k, v)
+    raw = reader.load()
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), MARKET_TICK_SCHEMA).alias("r"),
+        F.col("timestamp").alias("kafka_ts"),
+    )
+    return parsed.select("r.*", "kafka_ts")

@@ -107,3 +107,24 @@ def test_stream_dedup_rejects_unknown_key(spark, bad):
     stream = events_file_stream(spark, SF_DIR)
     with pytest.raises(Exception):
         stream_dedup(stream, keys=[bad]).explain()
+
+
+def test_kafka_source_options_mapping():
+    """The ring->topic option mapping is fixed: capacity-shaped intake
+    bound, drop-oldest analog, explicit start position."""
+    from open_rust_timeseries_db_spark.streaming.sources import (
+        kafka_market_stream_options,
+    )
+
+    opts = kafka_market_stream_options("broker:9092", "ticks")
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["subscribe"] == "ticks"
+    # reference integration ring capacity (16,384/field) is the default
+    # bounded-intake role of maxOffsetsPerTrigger
+    assert opts["maxOffsetsPerTrigger"] == "16384"
+    assert opts["failOnDataLoss"] == "false"
+    custom = kafka_market_stream_options(
+        "b:1", "t", max_offsets_per_trigger=8192, starting_offsets="earliest"
+    )
+    assert custom["maxOffsetsPerTrigger"] == "8192"
+    assert custom["startingOffsets"] == "earliest"
