@@ -48,13 +48,16 @@ def main() -> None:
         dot_fx_pd(F.array(F.lit(1.0)), F.array(F.lit(1.0)))
     ).write.format("noop").mode("overwrite").save()
 
-    # Three timed passes, report the per-query MIN. Pass 1 additionally
+    # Two timed passes, report the per-query MIN. Pass 1 additionally
     # pays each query's one-time JIT/codegen compilation; taking the
     # minimum reads through both that and transient VM interference
     # (host CPU steal hits whichever query is running during a throttle
-    # window — rarely the same query in all passes). The min is the
-    # steady-state throughput a long-lived cluster session sees.
-    for _ in range(3):
+    # window — rarely the same query in both passes). The min is the
+    # steady-state throughput a long-lived cluster session sees. Two
+    # passes, not three: at ~77 queries a third pass adds minutes of
+    # wall-clock for marginal noise reduction, and the harness budget
+    # is better spent finishing than re-measuring.
+    for _ in range(2):
         for name, spec in sorted(specs.items()):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
