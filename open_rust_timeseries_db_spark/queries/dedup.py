@@ -250,3 +250,123 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, block_col="label", id_col="vec_id", vec_col="embedding", threshold=0.4
     )
     return pairs.select("vec_a", "vec_b", "label", "cosine")
+
+
+_MH_PERMS = 8
+_MH_BANDS = 4  # bands of 2 rows: candidate iff 2 consecutive perms agree
+_MH_H = "CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ' ' || sh), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "q_minhash_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok,
+             generate_subscripts({_SQL_TOKS}, 1) AS i
+      FROM documents
+    ), shingles AS (
+      SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+      FROM toks t1
+      JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+      JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+    ), sigs AS (
+      SELECT doc_id, p.i, MIN({_MH_H}) AS sig
+      FROM shingles CROSS JOIN (SELECT unnest(range(0, {_MH_PERMS})) AS i) p
+      GROUP BY 1, 2
+    ), bands AS (
+      SELECT doc_id, i // 2 AS band,
+             STRING_AGG(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bkey
+      FROM sigs GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+      FROM bands ba JOIN bands bb
+        ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id
+    )
+    SELECT c.a, c.b,
+           COUNT(*) FILTER (WHERE sa.sig = sb.sig) AS n_match,
+           CAST(COUNT(*) FILTER (WHERE sa.sig = sb.sig) AS DOUBLE)
+             / {_MH_PERMS} AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.a
+    JOIN sigs sb ON sb.doc_id = c.b AND sb.i = sa.i
+    GROUP BY 1, 2
+    """,
+    doc="MinHash + LSH with a fully ORACLE-CHECKED hash family: "
+    f"{_MH_PERMS} permutations via md5('<perm> <shingle>') (min over "
+    "the doc's distinct 3-shingles), banded 4x2 — a pair is a "
+    "candidate iff one band (2 consecutive perms) matches exactly; "
+    "est_jaccard = matching perms / 8. The production-tuned twin "
+    "(q_dedup_near) uses xxhash64 (JVM-only, cheaper) and so gets a "
+    "rows-only check; THIS query pins the whole MinHash pipeline — "
+    "signatures, banding, candidate generation, estimation — "
+    "bit-for-bit against DuckDB. Shape matches the scale path: "
+    "signatures are computed per-row (zero shuffle), banding is one "
+    "groupBy, pairs expand inline from bucket lists (never a "
+    "signature-table self-join).",
+    tags=("dedup", "minhash", "lsh"),
+)
+def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.functions.text import tokens, word_shingles
+    from open_rust_timeseries_db_spark.operators.dedupe import _expand_pairs
+    from open_rust_timeseries_db_spark.queries.helpers import spread_scan
+
+    def md5l(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    shingled = (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select(
+            "doc_id", F.array_distinct(word_shingles(F.col("_toks"))).alias("_shs")
+        )
+        .filter(F.size("_shs") > 0)
+    )
+    # One transform emitting the per-shingle array of all perm hashes,
+    # folded positionally — NOT P transforms with an i=i closure: a
+    # two-parameter HOF lambda is PySpark's (element, index) form, so
+    # the i=i default is ignored and i binds to the array index (see
+    # operators/dedupe.shingle_profile, which hit the same trap).
+    per_elem = F.transform(
+        "_shs",
+        lambda s: F.array(
+            *[md5l(F.concat(F.lit(f"{i} "), s)) for i in range(_MH_PERMS)]
+        ),
+    )
+    sig_arr = F.aggregate(
+        per_elem,
+        F.array_repeat(F.lit(9223372036854775807).cast("long"), _MH_PERMS),
+        lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b)),
+    )
+    sigs = shingled.select(F.col("doc_id").alias("id"), sig_arr.alias("sigs"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col("sigs")[2 * b].alias("k0"),
+                F.col("sigs")[2 * b + 1].alias("k1"),
+                F.col("id"),
+                F.col("sigs"),
+            )
+            for b in range(_MH_BANDS)
+        ]
+    )
+    bands = sigs.select(F.explode(band_structs).alias("bb")).select(
+        "bb.band", "bb.k0", "bb.k1", "bb.id", "bb.sigs"
+    )
+    groups = bands.groupBy("band", "k0", "k1").agg(
+        F.collect_list(F.struct("id", "sigs")).alias("ms")
+    )
+    pairs = (
+        _expand_pairs(groups, ["sigs"])
+        .groupBy("a", "b")
+        .agg(F.first("sigs_a").alias("sa"), F.first("sigs_b").alias("sb"))
+    )
+    n_match = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda t: t)
+    ).cast("bigint")
+    return pairs.select(
+        "a",
+        "b",
+        n_match.alias("n_match"),
+        (n_match.cast("double") / _MH_PERMS).alias("est_jaccard"),
+    )
