@@ -254,7 +254,25 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MH_PERMS = 8
 _MH_BANDS = 4  # bands of 2 rows: candidate iff 2 consecutive perms agree
-_MH_H = "CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ' ' || sh), 1, 15)) AS BIGINT)"
+# Universal-hash permutation family over ONE md5 base hash per shingle:
+# h = first 8 md5 hex chars (32 bits), perm_i = (A_i*h + B_i) mod P with
+# P = 2^61-1 (Mersenne prime). A_i < 2^30 keeps A_i*h < 2^62 — exact
+# BIGINT arithmetic, identical in Spark and DuckDB, and 8x fewer md5
+# evaluations than hashing "<perm> <shingle>" per permutation (the
+# textbook MinHash construction: one strong hash, cheap permutations).
+_MH_P = 2305843009213693951  # 2^61 - 1
+_MH_AB = (
+    (314159265, 271828182),
+    (141421356, 161803398),
+    (173205080, 223606797),
+    (264575131, 244948974),
+    (331662479, 299999999),
+    (101010101, 123456789),
+    (535897932, 577215664),
+    (707106781, 693147180),
+)
+_MH_BASE = "CAST(('0x' || substring(md5(sh), 1, 8)) AS BIGINT)"
+_MH_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_AB))
 
 
 @query(
@@ -269,9 +287,13 @@ _MH_H = "CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ' ' || sh), 1, 15)) A
       FROM toks t1
       JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
       JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+    ), based AS (
+      SELECT doc_id, {_MH_BASE} AS h FROM shingles
+    ), perms(i, a, b) AS (
+      SELECT * FROM (VALUES {_MH_VALUES}) v(i, a, b)
     ), sigs AS (
-      SELECT doc_id, p.i, MIN({_MH_H}) AS sig
-      FROM shingles CROSS JOIN (SELECT unnest(range(0, {_MH_PERMS})) AS i) p
+      SELECT doc_id, p.i, MIN((p.a * bd.h + p.b) % {_MH_P}) AS sig
+      FROM based bd CROSS JOIN perms p
       GROUP BY 1, 2
     ), bands AS (
       SELECT doc_id, i // 2 AS band,
@@ -292,8 +314,9 @@ _MH_H = "CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ' ' || sh), 1, 15)) A
     GROUP BY 1, 2
     """,
     doc="MinHash + LSH with a fully ORACLE-CHECKED hash family: "
-    f"{_MH_PERMS} permutations via md5('<perm> <shingle>') (min over "
-    "the doc's distinct 3-shingles), banded 4x2 — a pair is a "
+    f"{_MH_PERMS} universal-hash permutations (A_i*h + B_i mod 2^61-1 "
+    "over one 32-bit md5 base hash; min over the doc's distinct "
+    "3-shingles), banded 4x2 — a pair is a "
     "candidate iff one band (2 consecutive perms) matches exactly; "
     "est_jaccard = matching perms / 8. The production-tuned twin "
     "(q_dedup_near) uses xxhash64 (JVM-only, cheaper) and so gets a "
@@ -310,8 +333,8 @@ def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_rust_timeseries_db_spark.operators.dedupe import _expand_pairs
     from open_rust_timeseries_db_spark.queries.helpers import spread_scan
 
-    def md5l(c):
-        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+    def md5l32(c):
+        return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
 
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     shingled = (
@@ -326,10 +349,14 @@ def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-parameter HOF lambda is PySpark's (element, index) form, so
     # the i=i default is ignored and i binds to the array index (see
     # operators/dedupe.shingle_profile, which hit the same trap).
+    # One md5 base hash per shingle (its own transform, so the md5 runs
+    # once, not once per permutation); the P permutations are exact
+    # BIGINT affine maps of the element reference (universal hashing).
+    base = F.transform("_shs", lambda s: md5l32(s))
     per_elem = F.transform(
-        "_shs",
-        lambda s: F.array(
-            *[md5l(F.concat(F.lit(f"{i} "), s)) for i in range(_MH_PERMS)]
+        base,
+        lambda h: F.array(
+            *[(F.lit(a) * h + F.lit(b)) % F.lit(_MH_P) for a, b in _MH_AB]
         ),
     )
     sig_arr = F.aggregate(
