@@ -10,9 +10,12 @@ API the same surface with the footguns fixed and Spark underneath:
   ``field_size_bytes`` but never checks it, silently drops unknown
   fields, and accepts torn records (src/storage/table.rs:54-80); here
   unknown/missing fields raise, values are type-checked at the edge;
-- **reject-new overflow** — ``write_record`` returns False when the
-  buffer holds ``capacity`` records, exactly the reference ring's
-  semantics (src/memory/low_latency_mpmc_ring.rs:85-86);
+- **reject-new overflow** (default) — ``write_record`` returns False
+  when the buffer holds ``capacity`` records, exactly the reference
+  ring's semantics (src/memory/low_latency_mpmc_ring.rs:85-86);
+  ``overflow="drop-oldest"`` selects the alternative the reference
+  README names (README.md:16, README.md:436): evict the oldest
+  record to admit the new one, keeping the buffer a sliding window;
 - **destructive FIFO reads** — ``read_one_record`` consumes, like
   ``try_dequeue`` (src/memory/low_latency_mpmc_ring.rs:116-121),
   but records are row-atomic: the reference's lockstep per-field
@@ -60,21 +63,35 @@ class Table:
         name: str,
         schema: T.StructType,
         capacity: int = 16_384,
+        overflow: str = "reject-new",
     ) -> None:
         if capacity <= 0:
             raise ValueError("capacity must be positive")
+        if overflow not in ("reject-new", "drop-oldest"):
+            raise ValueError(
+                f"overflow must be 'reject-new' or 'drop-oldest', got {overflow!r}"
+            )
         self.spark = spark
         self.name = name
         self.schema = schema
         self._capacity = capacity
+        self._overflow = overflow
         self._fields = {f.name: f for f in schema.fields}
         self._buf: deque[tuple[Any, ...]] = deque()
         self._lock = threading.Lock()
+        # True while a flush_to_parquet is in flight: writes are
+        # rejected (backpressure) so a failed flush can always restore
+        # its drained rows without exceeding capacity.
+        self._flushing = False
 
     # -- reference surface ------------------------------------------------
 
     def write_record(self, record: dict[str, Any]) -> bool:
-        """Append one record; False when full (reject-new overflow).
+        """Append one record. When the buffer is full: ``reject-new``
+        returns False; ``drop-oldest`` evicts the oldest record and
+        returns True (reference README.md:16's alternative policy).
+        While a flush is in flight writes return False (backpressure)
+        so a failed flush can restore without breaching capacity.
 
         Raises on unknown or missing fields and type mismatches — the
         validation the reference declares but never enforces
@@ -101,8 +118,12 @@ class Table:
             row.append(value)
         row_t = tuple(row)
         with self._lock:
-            if len(self._buf) >= self._capacity:
+            if self._flushing:
                 return False
+            if len(self._buf) >= self._capacity:
+                if self._overflow == "reject-new":
+                    return False
+                self._buf.popleft()
             self._buf.append(row_t)
             return True
 
@@ -143,12 +164,18 @@ class Table:
         The drained rows are restored to the front of the buffer if the
         write fails, so a flush never loses records and never races a
         concurrent ``read_one_record`` (the drain itself is atomic).
+        While the flush is in flight ``write_record`` returns False
+        (backpressure): the buffer cannot refill mid-flush, so the
+        failure-path restore can never push it above capacity.
         """
         with self._lock:
+            if self._flushing:
+                return 0
             rows = list(self._buf)
             self._buf.clear()
-        if not rows:
-            return 0
+            if not rows:
+                return 0
+            self._flushing = True
         try:
             self.spark.createDataFrame(rows, self.schema).write.mode(
                 "append"
@@ -156,5 +183,8 @@ class Table:
         except Exception:
             with self._lock:
                 self._buf.extendleft(reversed(rows))
+                self._flushing = False
             raise
+        with self._lock:
+            self._flushing = False
         return len(rows)

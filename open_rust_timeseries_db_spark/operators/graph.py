@@ -66,7 +66,10 @@ def connected_components(
     # round time at small graph sizes). ~500k rows per partition keeps
     # a partition's join state comfortably in memory at any scale; the
     # cluster-configured ceiling is respected so a 100 TB graph still
-    # fans out fully.
+    # fans out fully. The count is applied with EXPLICIT .repartition
+    # on the iterated DataFrames — never by mutating the session-global
+    # spark.sql.shuffle.partitions, which would silently re-plan any
+    # concurrent query on the shared SparkSession.
     spark = nodes.sparkSession
     state_rows = max(adj.count(), labels.count())
     conf_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -75,31 +78,35 @@ def connected_components(
     except ValueError:  # e.g. "auto" on some builds
         ceiling = 200
     iter_parts = max(1, min(ceiling, state_rows // 500_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
-    try:
-        labels = _propagate_to_fixpoint(adj, labels, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", conf_parts)
-    return labels
+    # Pre-partition the loop-invariant adjacency on its join key once,
+    # so every round's neighbor join reads it co-partitioned.
+    adj = adj.repartition(iter_parts, "src").localCheckpoint(eager=True)
+    return _propagate_to_fixpoint(adj, labels, max_iter, iter_parts)
 
 
 def _propagate_to_fixpoint(
-    adj: DataFrame, labels: DataFrame, max_iter: int
+    adj: DataFrame, labels: DataFrame, max_iter: int, iter_parts: int
 ) -> DataFrame:
     prev_sum = None
     for _ in range(max_iter):
+        # Explicit hash-repartition on the join/agg key sizes every
+        # shuffle in the round to iter_parts without touching session
+        # conf; downstream groupBy("node") and the src==node join are
+        # satisfied by this partitioning, so no further exchange.
+        lab = labels.repartition(iter_parts, "node")
         neighbor_labels = adj.join(
-            labels, adj["src"] == labels["node"]
+            lab, adj["src"] == lab["node"]
         ).select(F.col("dst").alias("node"), "label")
         # Referenced twice by the self-join below, but NOT checkpointed:
-        # both sides hang off the same groupBy shuffle, which Catalyst
-        # plans as one exchange + a ReusedExchange — deduped within the
-        # round's single job. An eager checkpoint here would add a whole
-        # extra job per round (schedule + materialize) to save work the
+        # both sides hang off the same shuffle, which Catalyst plans as
+        # one exchange + a ReusedExchange — deduped within the round's
+        # single job. An eager checkpoint here would add a whole extra
+        # job per round (schedule + materialize) to save work the
         # engine already shares; lineage is still truncated once per
         # round by the new_labels checkpoint.
         propagated = (
-            labels.union(neighbor_labels)
+            lab.union(neighbor_labels)
+            .repartition(iter_parts, "node")
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
@@ -109,7 +116,8 @@ def _propagate_to_fixpoint(
         # down in O(log diameter). The left join keeps roots (label not
         # present as a node never happens — labels are node ids — but
         # the root maps to itself, a plain inner self-join).
-        lhs, rhs = propagated.alias("l"), propagated.alias("r")
+        lhs = propagated.repartition(iter_parts, "label").alias("l")
+        rhs = propagated.alias("r")
         jumped = lhs.join(rhs, F.col("l.label") == F.col("r.node")).select(
             F.col("l.node").alias("node"), F.col("r.label").alias("label")
         )

@@ -77,7 +77,18 @@ def replicate_salted_join(
     the heavy probe key now spreads over n_salts shuffle partitions.
     Cost: build side shuffles n_salts x — use when build << probe and
     the probe key histogram is Zipfian (else plain join + AQE wins).
+
+    Only ``inner`` and ``left`` are salt-equivalent to the plain join:
+    with right/full outer, a build row unmatched in one salt bucket
+    would surface once per salt as n_salts null-extended duplicates,
+    so those modes are rejected.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "replicate_salted_join supports how in ('inner', 'left'); "
+            f"got {how!r} — outer modes would duplicate unmatched build "
+            "rows once per salt"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(_SALT)
     build_rep = build.select("*", salts)
     probe_salted = probe.withColumn(_SALT, F.spark_partition_id() % n_salts)

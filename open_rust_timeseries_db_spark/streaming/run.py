@@ -75,21 +75,44 @@ def foreach_batch_parquet(
     checkpoint_dir: str,
     partition_by: list[str] | None = None,
 ):
-    """Durable sink: append each micro-batch to a parquet dataset.
+    """Durable sink: write each micro-batch to a parquet dataset,
+    idempotently per batch id.
 
-    ``foreachBatch`` gives the batch writer's atomic commit per
-    micro-batch; the checkpoint's WAL makes replay idempotent
-    (exactly-once per batch id). Returns the started StreamingQuery.
+    ``foreachBatch`` alone is at-least-once: after a crash, Structured
+    Streaming replays the last uncommitted micro-batch with the SAME
+    batch_id, so a plain append would duplicate its rows. We make the
+    replay idempotent by keying the write on the batch id: each batch
+    lands in ``out_dir/batch_id=<id>/`` with mode("overwrite"), so a
+    replayed batch overwrites its own partial output instead of
+    appending a second copy. Readers see the union via partition
+    discovery on ``batch_id`` (read out_dir as usual; the extra column
+    is droppable). Returns the started StreamingQuery.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        writer = batch_df.write.mode("append")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(out_dir)
+        write_batch_idempotent(batch_df, batch_id, out_dir, partition_by)
 
     return (
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def write_batch_idempotent(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write one micro-batch into ``out_dir/batch_id=<id>/``, replay-safe.
+
+    Overwrite-into-own-directory = exactly-once per batch id: a replayed
+    batch overwrites its own (possibly partial) prior output instead of
+    appending a second copy; the batch writer's commit protocol makes
+    each directory's contents atomic (_SUCCESS-gated).
+    """
+    writer = batch_df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{out_dir}/batch_id={batch_id}")

@@ -151,3 +151,23 @@ def test_flush_to_parquet_exactly_once(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 300
     assert back.select("ts_ns").distinct().count() == 300
+
+
+def test_drop_oldest_overflow(spark):
+    """Twin of test_reject_new_overflow for the reference README's
+    alternative policy (reference README.md:16, README.md:436): a full
+    buffer evicts its oldest record to admit the new one."""
+    table = Table(spark, "sliding", MARKET_SCHEMA, capacity=4, overflow="drop-oldest")
+    for i in range(4):
+        assert table.write_record(_tick(0, i))
+    assert table.is_full()
+    assert table.write_record(_tick(0, 99))  # admitted, oldest evicted
+    assert table.record_count() == 4  # capacity invariant holds
+    seen = [table.read_one_record()["ts_ns"] for _ in range(4)]
+    base = 1_700_000_000_000_000_000
+    assert seen == [base + 1, base + 2, base + 3, base + 99]  # tick 0 evicted
+
+
+def test_overflow_policy_validated(spark):
+    with pytest.raises(ValueError):
+        Table(spark, "bad", MARKET_SCHEMA, capacity=4, overflow="drop-newest")

@@ -3,6 +3,7 @@ bit-identical to the single-phase plans they replace."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from open_rust_timeseries_db_spark.operators.skew import (
@@ -73,3 +74,15 @@ def test_replicate_salted_join_left(spark):
         salted.filter(F.col("c_name").isNull()).count()
         == plain.filter(F.col("c_name").isNull()).count()
     )
+
+
+def test_replicate_salted_join_rejects_outer(spark):
+    """right/full outer would surface each unmatched build row once per
+    salt (n_salts null-extended duplicates) — must be rejected."""
+    orders = load_table(spark, SF_DIR, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = load_table(spark, SF_DIR, "customer")
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner"):
+            replicate_salted_join(orders, cust, on=["c_custkey"], how=how)

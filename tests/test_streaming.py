@@ -18,6 +18,7 @@ from open_rust_timeseries_db_spark.streaming.pipelines import stream_dedup
 from open_rust_timeseries_db_spark.streaming.run import (
     foreach_batch_parquet,
     run_available_now_to_memory,
+    write_batch_idempotent,
 )
 from open_rust_timeseries_db_spark.streaming.sources import (
     events_file_stream,
@@ -128,3 +129,17 @@ def test_kafka_source_options_mapping():
     )
     assert custom["maxOffsetsPerTrigger"] == "8192"
     assert custom["startingOffsets"] == "earliest"
+
+
+def test_write_batch_idempotent_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash replays the last batch id.
+    The batch-id-keyed overwrite must make the replay a no-op instead of
+    an append-duplicate."""
+    out = str(tmp_path / "idem")
+    batch = spark.range(100).withColumn("v", F.col("id") * 2)
+    write_batch_idempotent(batch, 0, out)
+    write_batch_idempotent(batch, 0, out)  # replay of the same batch id
+    write_batch_idempotent(batch, 1, out)  # a genuinely new batch
+    got = spark.read.parquet(out)
+    assert got.count() == 200  # not 300: the replay overwrote, not appended
+    assert got.filter(F.col("batch_id") == 0).count() == 100
