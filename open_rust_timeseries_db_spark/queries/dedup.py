@@ -26,7 +26,29 @@ from open_rust_timeseries_db_spark.operators.graph import connected_components
 from open_rust_timeseries_db_spark.queries.registry import query
 from open_rust_timeseries_db_spark.sources.catalog import load_table
 
+from open_rust_timeseries_db_spark.functions.text_kernels import (
+    MH_AB,
+    MH_P as _MH_P,
+)
+
 _SQL_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+_MH_PERMS = 8
+_MH_BANDS = 4  # bands of 2 rows: candidate iff 2 consecutive perms agree
+# Universal-hash permutation family over ONE md5 base hash per shingle:
+# h = first 8 md5 hex chars (32 bits), perm_i = (A_i*h + B_i) mod P with
+# P = 2^61-1 (Mersenne prime). A_i < 2^30 keeps A_i*h < 2^62 — exact
+# BIGINT arithmetic, identical in the Arrow kernel
+# (functions/text_kernels.py) and DuckDB, and 8x fewer md5 evaluations
+# than hashing "<perm> <shingle>" per permutation (the textbook MinHash
+# construction: one strong hash, cheap permutations).
+_MH_AB = MH_AB[:_MH_PERMS]
+_MH_BASE = "CAST(('0x' || substring(md5(sh), 1, 8)) AS BIGINT)"
+_MH_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_AB))
+
+# The production pipeline (q_dedup_near) uses all 16 permutations in 4
+# bands of 4 — steeper LSH curve, tuned for the 0.5 Jaccard threshold.
+_MH16_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MH_AB))
 
 
 @query(
@@ -52,16 +74,60 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_near",
-    None,  # xxhash64 signatures are JVM-only -> rows-only driver check
-    doc="MinHash-LSH near-dup pipeline: 3-word shingles -> 16 xxhash64 "
-    "min-hash permutations (per-row array ops, zero shuffle) -> 4-band "
-    "bucket grouping -> inline candidate pairs -> exact-Jaccard "
-    "verification (>= 0.5) via array_intersect on shingle-hash arrays "
-    "carried through the shuffle. ONE corpus pass, no self-joins. "
-    "Linear-ish in corpus size: only docs sharing a band bucket are "
-    "paired. Rows-only check (signatures use JVM xxhash64); the Jaccard "
-    "verifier itself is oracle-checked separately as q_ngram_jaccard.",
-    tags=("dedup", "minhash", "rows-only"),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok,
+             generate_subscripts({_SQL_TOKS}, 1) AS i
+      FROM documents
+    ), shingles AS (
+      SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+      FROM toks t1
+      JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+      JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+    ), based AS (
+      SELECT doc_id, {_MH_BASE} AS h FROM shingles
+    ), perms(i, a, b) AS (
+      SELECT * FROM (VALUES {_MH16_VALUES}) v(i, a, b)
+    ), sigs AS (
+      SELECT doc_id, p.i, MIN((p.a * bd.h + p.b) % {_MH_P}) AS sig
+      FROM based bd CROSS JOIN perms p
+      GROUP BY 1, 2
+    ), bands AS (
+      SELECT doc_id, i // 4 AS band,
+             STRING_AGG(CAST(sig AS VARCHAR), ',' ORDER BY i) AS bkey
+      FROM sigs GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT ba.doc_id AS a, bb.doc_id AS b
+      FROM bands ba JOIN bands bb
+        ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT c.a, c.b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.a
+      JOIN shingles sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+      GROUP BY 1, 2
+    )
+    SELECT i.a, i.b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE)
+             / (na.n_sh + nb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.a
+    JOIN sizes nb ON nb.doc_id = i.b
+    WHERE CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter) >= 0.5
+    """,
+    doc="MinHash-LSH near-dup pipeline: 3-word shingles -> 16 md5-based "
+    "universal-hash min-hash permutations (one narrow Arrow-kernel "
+    "pass, zero shuffle) -> 4-band bucket grouping -> inline candidate "
+    "pairs -> exact-Jaccard verification (>= 0.5) via array_intersect "
+    "on shingle-id arrays carried through the shuffle. ONE corpus pass, "
+    "no self-joins. Linear-ish in corpus size: only docs sharing a band "
+    "bucket are paired. Round 1 used JVM xxhash64 signatures (rows-only "
+    "check); the kernel's md5 family is reproducible in DuckDB, so the "
+    "full pipeline — signatures, banding, candidates, verification — "
+    "is now oracle-checked.",
+    tags=("dedup", "minhash"),
 )
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -252,27 +318,6 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", "label", "cosine")
 
 
-_MH_PERMS = 8
-_MH_BANDS = 4  # bands of 2 rows: candidate iff 2 consecutive perms agree
-# Universal-hash permutation family over ONE md5 base hash per shingle:
-# h = first 8 md5 hex chars (32 bits), perm_i = (A_i*h + B_i) mod P with
-# P = 2^61-1 (Mersenne prime). A_i < 2^30 keeps A_i*h < 2^62 — exact
-# BIGINT arithmetic, identical in Spark and DuckDB, and 8x fewer md5
-# evaluations than hashing "<perm> <shingle>" per permutation (the
-# textbook MinHash construction: one strong hash, cheap permutations).
-_MH_P = 2305843009213693951  # 2^61 - 1
-_MH_AB = (
-    (314159265, 271828182),
-    (141421356, 161803398),
-    (173205080, 223606797),
-    (264575131, 244948974),
-    (331662479, 299999999),
-    (101010101, 123456789),
-    (535897932, 577215664),
-    (707106781, 693147180),
-)
-_MH_BASE = "CAST(('0x' || substring(md5(sh), 1, 8)) AS BIGINT)"
-_MH_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_AB))
 
 
 @query(
@@ -329,65 +374,73 @@ _MH_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_AB))
     tags=("dedup", "minhash", "lsh"),
 )
 def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from open_rust_timeseries_db_spark.functions.text import tokens, word_shingles
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        shingle_profile_pd,
+    )
     from open_rust_timeseries_db_spark.operators.dedupe import _expand_pairs
-    from open_rust_timeseries_db_spark.queries.helpers import spread_scan
 
-    def md5l32(c):
-        return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+    # Signatures come from the Arrow kernel (one narrow pass; md5 once
+    # per unique shingle per batch, affine permutations vectorized in
+    # numpy) — bit-identical to the oracle's universal-hash family and
+    # ~5x the throughput of the interpreted transform/aggregate HOF
+    # chain it replaced (round-1 verdict measured that at 4.4x the
+    # oracle's wall time).
+    from open_rust_timeseries_db_spark.operators.dedupe import BROADCAST_MAX_ROWS
 
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    shingled = (
-        docs.select("doc_id", tokens("text").alias("_toks"))
-        .select(
-            "doc_id", F.array_distinct(word_shingles(F.col("_toks"))).alias("_shs")
-        )
-        .filter(F.size("_shs") > 0)
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = (
+        shingle_profile_pd(docs, n_perms=_MH_PERMS)
+        .select("id", "sigs")
+        .localCheckpoint()
     )
-    # One transform emitting the per-shingle array of all perm hashes,
-    # folded positionally — NOT P transforms with an i=i closure: a
-    # two-parameter HOF lambda is PySpark's (element, index) form, so
-    # the i=i default is ignored and i binds to the array index (see
-    # operators/dedupe.shingle_profile, which hit the same trap).
-    # One md5 base hash per shingle (its own transform, so the md5 runs
-    # once, not once per permutation); the P permutations are exact
-    # BIGINT affine maps of the element reference (universal hashing).
-    base = F.transform("_shs", lambda s: md5l32(s))
-    per_elem = F.transform(
-        base,
-        lambda h: F.array(
-            *[(F.lit(a) * h + F.lit(b)) % F.lit(_MH_P) for a, b in _MH_AB]
-        ),
-    )
-    sig_arr = F.aggregate(
-        per_elem,
-        F.array_repeat(F.lit(9223372036854775807).cast("long"), _MH_PERMS),
-        lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b)),
-    )
-    sigs = shingled.select(F.col("doc_id").alias("id"), sig_arr.alias("sigs"))
-    band_structs = F.array(
+    band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.col("sigs")[2 * b].alias("k0"),
                 F.col("sigs")[2 * b + 1].alias("k1"),
-                F.col("id"),
-                F.col("sigs"),
             )
             for b in range(_MH_BANDS)
         ]
     )
-    bands = sigs.select(F.explode(band_structs).alias("bb")).select(
-        "bb.band", "bb.k0", "bb.k1", "bb.id", "bb.sigs"
+    bands = sigs.select("id", "sigs", F.explode(band_arr).alias("bb")).select(
+        "id", "sigs", "bb.band", "bb.k0", "bb.k1"
     )
-    groups = bands.groupBy("band", "k0", "k1").agg(
-        F.collect_list(F.struct("id", "sigs")).alias("ms")
-    )
-    pairs = (
-        _expand_pairs(groups, ["sigs"])
-        .groupBy("a", "b")
-        .agg(F.first("sigs_a").alias("sa"), F.first("sigs_b").alias("sb"))
-    )
+    if sigs.count() <= BROADCAST_MAX_ROWS:
+        # Broadcast band self-join with the signature arrays carried
+        # through: candidate pairs are few (the whole point of LSH), so
+        # hauling both sides' sigs through the pair-dedup shuffle is
+        # cheaper than two re-attach joins (fewer jobs, one broadcast).
+        # See operators/dedupe.BROADCAST_MAX_ROWS.
+        pairs = (
+            bands.select(
+                F.col("id").alias("a"), F.col("sigs").alias("sa"), "band", "k0", "k1"
+            )
+            .join(
+                F.broadcast(
+                    bands.select(
+                        F.col("id").alias("b"),
+                        F.col("sigs").alias("sb"),
+                        "band",
+                        "k0",
+                        "k1",
+                    )
+                ),
+                ["band", "k0", "k1"],
+            )
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "sa", "sb")
+            .dropDuplicates(["a", "b"])
+        )
+    else:
+        groups = bands.join(sigs, "id").groupBy("band", "k0", "k1").agg(
+            F.collect_list(F.struct("id", "sigs")).alias("ms")
+        )
+        pairs = (
+            _expand_pairs(groups, ["sigs"])
+            .groupBy("a", "b")
+            .agg(F.first("sigs_a").alias("sa"), F.first("sigs_b").alias("sb"))
+        )
     n_match = F.size(
         F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda t: t)
     ).cast("bigint")

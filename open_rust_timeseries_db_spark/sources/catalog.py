@@ -16,12 +16,18 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# ``events.ts`` is epoch-NANOS: parquet TIMESTAMP(NANOS) surfaced as
-# LongType via spark.sql.legacy.parquet.nanosAsLong (Spark's
-# TimestampType is µs-precision; the reference's native unit is ns,
-# reference src/tests/integration_test.rs:169-173).
+# ``events.ts`` is epoch-NANOS LongType in the ENGINE schema (the
+# reference's native unit is ns, reference
+# src/tests/integration_test.rs:169-173; Spark's TimestampType is
+# µs-precision). The testdata file has shipped it two ways across
+# driver rounds — parquet TIMESTAMP(NANOS) (read as long via
+# spark.sql.legacy.parquet.nanosAsLong) and parquet timestamp[us]
+# (read as TIMESTAMP_NTZ) — so ``load_table`` normalizes whatever the
+# file yields to epoch-nanos long at the catalog boundary; every
+# downstream operator and oracle sees one stable unit.
 TABLES: dict[str, T.StructType] = {
     "region": T.StructType(
         [
@@ -119,12 +125,34 @@ TABLES: dict[str, T.StructType] = {
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-def _ensure_nanos_conf(spark: SparkSession) -> None:
-    """The driver may hand us a vanilla session; ns-parquet needs this."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+def _ensure_read_confs(spark: SparkSession) -> None:
+    """The driver may hand us a vanilla session; reads depend on these.
+
+    UTC session time makes the TIMESTAMP_NTZ -> TIMESTAMP cast in
+    ``_ts_to_epoch_nanos`` an identity on the wall clock (epoch = the
+    NTZ value read as UTC, matching DuckDB's epoch_us over the same
+    file); nanosAsLong covers the TIMESTAMP(NANOS) variant of the file.
+    """
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
+
+
+def _ts_to_epoch_nanos(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to epoch-nanos long whatever the file yielded."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):  # TIMESTAMP(NANOS) via nanosAsLong
+        return df
+    # timestamp[us] (NTZ or tz-adjusted): epoch-µs * 1000. Lossless —
+    # the file has no sub-µs precision to lose.
+    return df.withColumn(
+        "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+    )
 
 
 # Resolved-table cache, keyed per Spark application: spark.read.parquet
@@ -144,7 +172,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
-    _ensure_nanos_conf(spark)
+    _ensure_read_confs(spark)
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
@@ -155,6 +183,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     missing = set(declared) - set(df.columns)
     if missing:
         raise ValueError(f"table {name!r} at {path} missing columns {sorted(missing)}")
+    if name == "events":
+        df = _ts_to_epoch_nanos(df)
     out = df.select(*declared)
     _TABLE_CACHE[key] = out
     return out

@@ -72,21 +72,38 @@ def events_file_stream(
     ``ts_us`` (epoch-µs long) and ``ts_ts`` (µs timestamp) are added,
     matching the batch-side convention in queries/helpers.py.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    from open_rust_timeseries_db_spark.sources.catalog import (
+        _ensure_read_confs,
+        _ts_to_epoch_nanos,
+    )
+
+    _ensure_read_confs(spark)
+    # The stream-source schema must match the FILE's ts encoding (the
+    # batch reader infers it; a stream reader cannot). Peek at the file
+    # with a one-off batch read, then normalize to the engine schema
+    # (ts = epoch-nanos long) exactly like sources/catalog.load_table.
+    file_ts = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .schema["ts"]
+        .dataType
+    )
+    read_schema = T.StructType(
+        [
+            T.StructField(f.name, file_ts if f.name == "ts" else f.dataType)
+            for f in TABLES["events"].fields
+        ]
+    )
     # testdata tables are single parquet FILES; the file stream source
     # only accepts a directory path, so stream the sf_dir and glob-filter
     # down to the events table file.
     reader = (
-        spark.readStream.schema(TABLES["events"])
+        spark.readStream.schema(read_schema)
         .option("pathGlobFilter", "events.parquet")
         .option("recursiveFileLookup", "false")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
+    df = _ts_to_epoch_nanos(reader.parquet(sf_dir))
     return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
         "ts_ts", F.timestamp_micros(F.col("ts_us"))
     )
