@@ -13,11 +13,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_rust_timeseries_db_spark.functions.vectors import (
-    cosine_from_parts,
-    dot_fx_pd,
     ivf_assign,
+    ivf_probe_search,
     local_topk_cosine,
-    norm2_fx_raw,
     sql_fx_sum,
 )
 from open_rust_timeseries_db_spark.queries.registry import query
@@ -217,70 +215,23 @@ _ASSIGN_CTE = f"""
 )
 def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # Materialize the centroid set once: both the probe scorer and the
-    # assignment pass collect it into their task closures, and without
-    # this each collect is its own parquet-scan job.
     centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    ).localCheckpoint(eager=True)
+    )
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    # Probe selection: rank ALL centroids per query (the centroid set is
-    # tiny — this is the same matrix the assignment pass ships) and keep
-    # the top nprobe. exclude_self=False: a query's own cell is its most
-    # important probe.
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), "neighbor_id"
-    )
-    probes = (
-        local_topk_cosine(
-            centroids.select(
-                F.col("centroid_id").alias("vec_id"),
-                F.col("c_emb").alias("embedding"),
-            ),
-            queries_df,
-            k=_NPROBE,
-            exclude_self=False,
-        )
-        .select(
-            "query_id",
-            F.col("neighbor_id").alias("centroid_id"),
-            F.row_number().over(probe_w).alias("rn"),
-        )
-        .filter(F.col("rn") <= _NPROBE)
-        .drop("rn")
-    )
-    members = ivf_assign(emb, centroids).select("vec_id", "centroid_id")
-    # probes is tiny (Q * nprobe rows) -> broadcast against the member
-    # list; the surviving candidate set is nprobe cells' worth per query.
-    cand = (
-        F.broadcast(probes)
-        .join(members, "centroid_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    # Attach both vectors (corpus join narrow on vec_id; query vectors
-    # broadcast) and score with the Arrow-vectorized fixed-point dot.
-    scored = (
-        cand.join(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
-                  "neighbor_id")
-        .join(F.broadcast(queries_df), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_from_parts(
-                dot_fx_pd("embedding", "q_emb"),
-                norm2_fx_raw("embedding"),
-                norm2_fx_raw("q_emb"),
-            ).alias("cosine"),
-        )
-    )
+    # Fused single-pass IVF search (functions/vectors.ivf_probe_search):
+    # centroid + query matrices collected once on the driver, probe
+    # cells ranked there (tiny, exact), then ONE narrow corpus pass
+    # assigns + filters + scores + emits local top-k per query. The
+    # global window ranks the O(tasks * Q * k) survivor set.
+    local = ivf_probe_search(emb, centroids, queries_df, nprobe=_NPROBE, k=_ANN_K)
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "neighbor_id"
     )
     return (
-        scored.select(
+        local.select(
             "query_id",
             "neighbor_id",
             "cosine",

@@ -130,28 +130,42 @@ _MINMAX_STATE_SCHEMA = T.StructType(
 )
 
 
+def transform_with_state_available() -> bool:
+    """True when ``transformWithStateInPandas`` can actually run: its
+    driver<->state-server protocol is protobuf-based and the pyspark
+    wheel does not bundle the python ``google.protobuf`` package."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def running_minmax_stateful(
     stream: DataFrame,
     key_col: str = "symbol_id",
     value_col: str = "value",
 ) -> DataFrame:
-    """Running per-key min/max/count via ``transformWithStateInPandas``
-    — the Spark 4 arbitrary-state API (typed ValueState, timers, state
-    TTL) superseding ``applyInPandasWithState``.
+    """Running per-key min/max/count changelog.
+
+    Backend selection: ``transformWithStateInPandas`` — the Spark 4
+    arbitrary-state API (typed ValueState, timers, state TTL)
+    superseding ``applyInPandasWithState`` — when its protobuf runtime
+    dependency is importable; otherwise an ``applyInPandasWithState``
+    twin with the identical accumulator, output schema, and update-mode
+    changelog contract. Both paths produce the same rows for the same
+    micro-batch sequence, so the operator's contract (and its test) is
+    backend-independent.
 
     Mirrors the reference's lock-free running-max consumer and
     min/max/count latency fold (reference
     src/tests/integration_test.rs:80-93, :334-357): state is per-key
     O(1) scalars merged with min/max — order-insensitive, so replayed
     or reordered micro-batches converge to the same result.
-
-    Requires the RocksDB state-store provider (the transformWithState
-    backend); set on the session here, which affects only streaming
-    queries started afterwards. Runtime dependency: the state-server
-    protocol is protobuf-based, so the ``google.protobuf`` python
-    package must be installed on driver and executors (the pyspark
-    wheel does not bundle it); the test gates on its presence.
     """
+    if not transform_with_state_available():
+        return _running_minmax_applyinpandas(stream, key_col, value_col)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -200,5 +214,54 @@ def running_minmax_stateful(
             outputStructType=RUNNING_MINMAX_SCHEMA,
             outputMode="Update",
             timeMode="None",
+        )
+    )
+
+
+def _running_minmax_applyinpandas(
+    stream: DataFrame,
+    key_col: str = "symbol_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """``applyInPandasWithState`` twin of :func:`running_minmax_stateful`
+    — same accumulator, same output schema, same update-mode changelog.
+    Used automatically when the transformWithState protobuf runtime is
+    absent (see :func:`transform_with_state_available`)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n, mn, mx = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            vals = pdf[value_col].astype("float64")
+            if len(vals) == 0:
+                continue
+            n += len(vals)
+            bmin, bmax = float(vals.min()), float(vals.max())
+            mn = bmin if mn is None else min(mn, bmin)
+            mx = bmax if mx is None else max(mx, bmax)
+        state.update((n, mn, mx))
+        yield pd.DataFrame(
+            {
+                "key": pd.Series([key[0]], dtype="int64"),
+                "n": pd.Series([n], dtype="int64"),
+                "min_v": pd.Series([mn], dtype="float64"),
+                "max_v": pd.Series([mx], dtype="float64"),
+            }
+        )
+
+    return (
+        stream.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_MINMAX_SCHEMA,
+            stateStructType=_MINMAX_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

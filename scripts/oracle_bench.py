@@ -7,6 +7,11 @@ registered oracle twice (min-of-passes, same policy as bench.py), and —
 if given a bench.py JSON line — prints the ratio table sorted worst
 first.
 
+It also writes ORACLE_BENCH.json at the repo root: per-query oracle
+seconds (+ spark seconds and ratios when a bench file is given), so the
+2x gate is machine-checkable from the committed tree every round
+instead of re-measured by hand.
+
 Usage:
     python scripts/oracle_bench.py [sf_dir] [bench_json_path]
 """
@@ -76,6 +81,24 @@ def main() -> None:
         )
     print(f"== {len(rows) - n_fail} within gate, {n_fail} over ==")
     print(json.dumps({"duck_total": round(sum(duck_t.values()), 3)}))
+
+    out = {
+        "sf_dir": sf_dir,
+        "policy": "min of 2 passes, same as bench.py",
+        "queries": {
+            name: {
+                "oracle_sec": round(dt, 4),
+                "spark_sec": (round(st, 4) if st is not None else None),
+                "ratio": (round(ratio, 2) if ratio is not None else None),
+            }
+            for name, dt, st, ratio in rows
+        },
+        "oracle_total_sec": round(sum(duck_t.values()), 3),
+        "n_over_2x": n_fail,
+    }
+    out_path = Path(__file__).resolve().parent.parent / "ORACLE_BENCH.json"
+    out_path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

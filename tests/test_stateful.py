@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import time
 
-import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -84,26 +83,14 @@ def test_running_vwap_state_across_batches(spark, tmp_path):
         assert final["vwap"] == (final["sum_pq_fx"] / 1_000_000) / final["sum_q"]
 
 
-def _protobuf_available() -> bool:
-    # transformWithState's state-server protocol is protobuf-based; the
-    # pyspark wheel does not bundle the python protobuf package.
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-@pytest.mark.skipif(
-    not _protobuf_available(),
-    reason="transformWithStateInPandas requires the google.protobuf "
-    "package (not installed in this container); the operator is "
-    "exercised wherever protobuf is present",
-)
 def test_transform_with_state_running_minmax(spark, tmp_path):
-    """transformWithStateInPandas: per-key min/max/count state must
-    survive micro-batches and converge to the batch-computed truth."""
+    """Running per-key min/max/count state must survive micro-batches
+    and converge to the batch-computed truth.
+
+    The operator auto-selects its backend: transformWithStateInPandas
+    where the protobuf runtime exists, its applyInPandasWithState twin
+    otherwise — the changelog contract under test is identical, so this
+    runs unconditionally (no environment skip)."""
     from open_rust_timeseries_db_spark.streaming.stateful import (
         RUNNING_MINMAX_SCHEMA,
         running_minmax_stateful,
