@@ -1,0 +1,428 @@
+"""Training-data pipeline management over ``documents`` — the
+corpus-curation operators an LLM data pipeline runs BETWEEN dedup and
+training: shard assignment, per-source duplication audits, relevance
+scoring (TF-IDF / BM25), n-gram language-model statistics, length
+stratification, and pattern-flag scrubbing audits.
+
+The reference stores opaque payloads and has none of this surface
+(SURVEY.md §0); these are driver-mandated §2.4 extensions, same
+determinism contract as every other registry query (exact integer
+arithmetic wherever possible; every double is produced by the identical
+IEEE operation on identical operands in both engines).
+
+Determinism note on scoring: classic TF-IDF/BM25 use ln(); natural log
+is libm-dependent and a 1-ulp divergence between engines breaks the
+value-hash gate, so both scorers here use the RATIONAL (log-free) idf
+variant idf = N/df (documented in each query). Ranking behavior is
+monotone in the same direction; the dampening differs, which is
+irrelevant to the plumbing being exercised (explode -> tf -> df ->
+broadcast join -> per-doc window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from open_rust_timeseries_db_spark.functions.text import tokens, word_shingles
+from open_rust_timeseries_db_spark.queries.helpers import spread_scan
+from open_rust_timeseries_db_spark.queries.registry import query
+from open_rust_timeseries_db_spark.sources.catalog import load_table
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+_N_SHARDS = 16
+
+
+@query(
+    "q_train_shards",
+    f"""
+    WITH sharded AS (
+      SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_N_SHARDS} AS shard,
+             doc_id,
+             length({_SQL_TOKS}) AS n_toks,
+             n_chars
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM sharded GROUP BY shard
+    """,
+    doc=f"Deterministic training-shard assignment: shard = md5(doc_id) "
+    f"mod {_N_SHARDS} (content-independent, rendezvous-stable — adding "
+    "docs never moves existing ones between shards), with per-shard "
+    "doc/token/char budgets, the numbers a data-loader needs to "
+    "balance workers. Scale: pure narrow map + one hash-agg shuffle of "
+    f"{_N_SHARDS} partial rows per task; at 100 TB the same query "
+    "drives `df.write.partitionBy(shard)` to lay the corpus out for "
+    "training.",
+    tags=("pipeline", "sharding"),
+)
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _N_SHARDS
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "doc_id",
+            F.size(tokens("text")).cast("bigint").alias("n_toks"),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@query(
+    "q_dup_ratio_by_source",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*) AS dup_ratio
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Per-source duplication audit — the first question asked of any "
+    "new corpus slice: how much of each source is copies? Exact "
+    "distinct-count per group (two-level hash agg: partial distinct on "
+    "(source, text), final count). The ratio is one IEEE divide of two "
+    "exact integers. At 100 TB swap the inner distinct's key to "
+    "md5(text) (16-byte shuffle key instead of the document, same "
+    "counts w.h.p.) — the q_dedup_exact note applies verbatim.",
+    tags=("pipeline", "dedup", "audit"),
+)
+def q_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("text").cast("double") / F.count(F.lit(1))
+        ).alias("dup_ratio"),
+    )
+
+
+@query(
+    "q_tfidf_topterms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT t.doc_id, t.tok, t.tf, d.df,
+             CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score
+      FROM tf t JOIN df d ON d.tok = t.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df, score, rnk FROM (
+      SELECT doc_id, tok, tf, df, score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, tok
+             ) AS BIGINT) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="TF-IDF top-5 terms per document — keyword extraction for "
+    "corpus curation. Rational idf = N/df (log-free; see module "
+    "docstring): score = tf*N/df where tf*N is exact BIGINT and the "
+    "divide is one IEEE op. Shape: explode -> (doc, term) hash-agg -> "
+    "term df agg -> BROADCAST df back onto tf (term dictionary is "
+    "vocabulary-sized, tiny vs the corpus) -> per-doc top-5 window. "
+    "At 100 TB the df table may exceed broadcast: it bucket-joins on "
+    "tok instead; everything else is unchanged.",
+    tags=("pipeline", "tfidf", "scoring"),
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return scored.select(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        "score",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).filter(F.col("rnk") <= 5)
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("the", "data", "of")
+
+
+@query(
+    "q_bm25_rank",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS dl_total
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN {str(tuple(_BM25_TERMS))}
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(FLOOR(
+               ((CAST(s.n_docs AS DOUBLE) / d.df)
+                * (t.tf * ({_BM25_K1} + 1.0))
+                / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                   + {_BM25_B} * (l.dl / (CAST(s.dl_total AS DOUBLE) / s.n_docs)))))
+               * 1e12) AS BIGINT)) AS BIGINT) / 1e12 AS bm25
+      FROM tf t
+      JOIN dl l ON l.doc_id = t.doc_id
+      JOIN df d ON d.tok = t.tok
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, bm25, rnk FROM (
+      SELECT doc_id, bm25,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS rnk
+      FROM scored)
+    WHERE rnk <= 20
+    """,
+    doc="BM25 relevance ranking for a fixed query "
+    f"{_BM25_TERMS} — the retrieval scorer used to mine "
+    "training data for a topic. Rational idf = N/df (log-free; module "
+    "docstring) with the standard k1/b length normalization; every "
+    "factor is built from exact integers and the identical IEEE "
+    "division chain in both engines, summed per doc over at most "
+    f"{len(_BM25_TERMS)} terms with a BIGINT-count guard on ties. "
+    "Shape: one token explode feeds both dl and (filtered) tf; df and "
+    "the global stats row broadcast; top-20 global window over the "
+    "per-doc scores (scored set is bounded by docs containing a query "
+    "term).",
+    tags=("pipeline", "bm25", "scoring"),
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_total")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    term = (
+        (F.col("n_docs").cast("double") / F.col("df"))
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0 - _BM25_B)
+                + F.lit(_BM25_B)
+                * (
+                    F.col("dl")
+                    / (F.col("dl_total").cast("double") / F.col("n_docs"))
+                )
+            )
+        )
+    )
+    # Per-doc sum of <= 3 doubles is still order-sensitive in IEEE;
+    # the fixed-point floor(x*1e12) BIGINT fold makes the accumulation
+    # exact on both engines (same scheme as functions/vectors.py).
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.floor(term * F.lit(1e12)).cast("bigint")).cast("double")
+                / F.lit(1e12)
+            ).alias("bm25")
+        )
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return scored.select(
+        "doc_id", "bm25", F.row_number().over(w).cast("bigint").alias("rnk")
+    ).filter(F.col("rnk") <= 20)
+
+
+@query(
+    "q_ngram_lm_bigrams",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok,
+             generate_subscripts({_SQL_TOKS}, 1) AS i
+      FROM documents
+    ), big AS (
+      SELECT t1.tok AS w1, t1.tok || ' ' || t2.tok AS bigram
+      FROM toks t1
+      JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+    ), bc AS (
+      SELECT bigram, w1, COUNT(*) AS n_bigram FROM big GROUP BY 1, 2
+    ), pc AS (
+      SELECT w1, CAST(SUM(n_bigram) AS BIGINT) AS n_prefix FROM bc GROUP BY 1
+    )
+    SELECT b.bigram, b.n_bigram, p.n_prefix,
+           CAST(b.n_bigram AS DOUBLE) / p.n_prefix AS cond_p
+    FROM bc b JOIN pc p ON p.w1 = b.w1
+    ORDER BY b.n_bigram DESC, b.bigram
+    LIMIT 50
+    """,
+    doc="Corpus bigram language-model statistics: occurrence counts "
+    "(duplicates count — this is an LM, not a dedup set) and the "
+    "conditional probability P(w2 | w1) = count(w1 w2)/count(w1 ·) for "
+    "the top-50 bigrams. The quality signal behind perplexity-style "
+    "corpus filters. Exact integer counts; one IEEE divide. Shape: "
+    "per-row shingling (zip of two shifted slices, no index "
+    "re-evaluation), ONE bigram hash-agg carrying w1 through the "
+    "grouping so the prefix rollup re-aggregates partials instead of "
+    "re-scanning, then a vocabulary-sized join + global top-k.",
+    tags=("pipeline", "lm", "ngram"),
+)
+def q_ngram_lm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokens("text").alias("_toks"))
+    big = toked.select(
+        F.explode(word_shingles(F.col("_toks"), 2)).alias("bigram")
+    ).select(F.substring_index("bigram", " ", 1).alias("w1"), "bigram")
+    bc = big.groupBy("bigram", "w1").agg(F.count(F.lit(1)).alias("n_bigram"))
+    pc = bc.groupBy("w1").agg(F.sum("n_bigram").alias("n_prefix"))
+    out = bc.join(F.broadcast(pc), "w1").select(
+        "bigram",
+        "n_bigram",
+        "n_prefix",
+        (F.col("n_bigram").cast("double") / F.col("n_prefix")).alias("cond_p"),
+    )
+    return out.orderBy(F.col("n_bigram").desc(), "bigram").limit(50)
+
+
+@query(
+    "q_length_deciles",
+    """
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked GROUP BY decile
+    """,
+    doc="Length stratification: exact deciles over (n_chars, doc_id) — "
+    "the histogram a curriculum/packing scheduler reads to plan "
+    "sequence-length buckets. The tie-break key makes NTILE total and "
+    "engine-deterministic. Scale note: a global NTILE is a single-"
+    "partition sort — correct but serial; at 100 TB the same report "
+    "comes from approx_percentile bounds + one bucketed aggregation "
+    "(see q_value_histogram), so this query is the exact-math twin "
+    "kept at report granularity.",
+    tags=("pipeline", "stratification"),
+)
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id", "n_chars", F.ntile(10).over(w).cast("bigint").alias("decile")
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "q_scrub_flags",
+    f"""
+    WITH per_doc AS (
+      SELECT source,
+             CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END
+               AS has_digits,
+             CASE WHEN length(list_filter({_SQL_TOKS},
+                                          t -> length(t) > 12)) > 0
+                  THEN 1 ELSE 0 END AS has_long_token,
+             CASE WHEN regexp_matches(text, '@') THEN 1 ELSE 0 END
+               AS has_at_sign
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(has_digits) AS BIGINT) AS n_digits,
+           CAST(SUM(has_long_token) AS BIGINT) AS n_long_token,
+           CAST(SUM(has_at_sign) AS BIGINT) AS n_at_sign
+    FROM per_doc GROUP BY source
+    """,
+    doc="Scrubbing audit — the pre-redaction census a PII pass starts "
+    "with: per source, how many docs carry digit runs, over-long "
+    "tokens, or @-signs (the cheap structural signals that gate the "
+    "expensive NER/regex redaction stage onto a fraction of the "
+    "corpus). Patterns are single-char classes, so Java regex and RE2 "
+    "agree by construction. Pure narrow flags + one hash-agg; at "
+    "100 TB this is a metadata-cheap full scan that prunes the real "
+    "scrubber's input.",
+    tags=("pipeline", "scrub", "audit"),
+)
+def q_scrub_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    per_doc = docs.select(
+        "source",
+        F.when(F.col("text").rlike("[0-9]"), 1).otherwise(0).alias("has_digits"),
+        F.when(
+            F.size(F.filter(toks, lambda t: F.length(t) > 12)) > 0, 1
+        )
+        .otherwise(0)
+        .alias("has_long_token"),
+        F.when(F.col("text").rlike("@"), 1).otherwise(0).alias("has_at_sign"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("has_digits").cast("bigint").alias("n_digits"),
+        F.sum("has_long_token").cast("bigint").alias("n_long_token"),
+        F.sum("has_at_sign").cast("bigint").alias("n_at_sign"),
+    )

@@ -99,6 +99,16 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q_shipping_priority",
     "q_region_revenue",
     "q_unpivot_measures",
+    # round-2 additions (queries/pipeline.py): new queries go inside
+    # the 50-entry driver window so they earn a correctness row the
+    # round they land.
+    "q_train_shards",
+    "q_dup_ratio_by_source",
+    "q_tfidf_topterms",
+    "q_bm25_rank",
+    "q_ngram_lm_bigrams",
+    "q_length_deciles",
+    "q_scrub_flags",
 )
 
 
@@ -111,6 +121,7 @@ def all_queries() -> dict[str, QuerySpec]:
         functions_q,
         multimodal,
         parity,
+        pipeline,
         relational,
         similarity,
         streaming_q,
