@@ -171,3 +171,59 @@ def test_drop_oldest_overflow(spark):
 def test_overflow_policy_validated(spark):
     with pytest.raises(ValueError):
         Table(spark, "bad", MARKET_SCHEMA, capacity=4, overflow="drop-newest")
+
+
+def test_ingest_throughput_beats_reference_workload(spark):
+    """The reference's integration workload — 4 producers x 10,000 msgs,
+    3 consumers, ring 16,384/field — measures messages/sec = total /
+    elapsed (reference src/tests/integration_test.rs:15-18,148-149,307,
+    315) against a published target of 'thousands ... to tens/hundreds
+    of thousands' of writes/sec (reference README.md:25-28) and a demo
+    feed rate of <= 20,000 msgs/s per producer (src/main.rs:37-43).
+
+    Same topology against api.Table; the gate asserts the END-TO-END
+    rate (produce + consume + validate, wall clock). Measured ~70k
+    msgs/s standalone and ~20-25k under the full pytest session's
+    thread contention — inside the reference's published 'tens of
+    thousands' band either way; the assert sits at 10k so a noisy CI
+    host cannot flake it while a real regression (per-record cost
+    jumping 5-10x) still trips.
+    """
+    table = Table(spark, "throughput", MARKET_SCHEMA, capacity=16_384)
+    n_producers, per_producer, n_consumers = 4, 10_000, 3
+    produced = n_producers * per_producer
+    n_consumed = [0]
+    lock = threading.Lock()
+    done = threading.Event()
+
+    def producer(p: int) -> None:
+        for i in range(per_producer):
+            while not table.write_record(_tick(p, i)):
+                time.sleep(0.0001)
+
+    def consumer() -> None:
+        while not done.is_set() or not table.is_empty():
+            rec = table.read_one_record()
+            if rec is None:
+                time.sleep(0.0001)
+                continue
+            with lock:
+                n_consumed[0] += 1
+
+    producers = [
+        threading.Thread(target=producer, args=(p,)) for p in range(n_producers)
+    ]
+    consumers = [threading.Thread(target=consumer) for _ in range(n_consumers)]
+    t0 = time.perf_counter()
+    for t in consumers + producers:
+        t.start()
+    for t in producers:
+        t.join()
+    done.set()
+    for t in consumers:
+        t.join()
+    elapsed = time.perf_counter() - t0
+
+    assert n_consumed[0] == produced
+    rate = produced / elapsed
+    assert rate >= 10_000, f"end-to-end {rate:,.0f} msgs/s under reference bar"
