@@ -6,7 +6,13 @@ the member with the smallest id is the canonical survivor. The reference
 has no graph step at all (it has no dedup, SURVEY.md §2.4); this is part
 of the driver-mandated training-pipeline extension.
 
-Algorithm: min-label propagation to a fixpoint — each round, every node
+Two physical strategies behind one contract (see DRIVER_CC_MAX_EDGES):
+a driver-side union-find when the edge list is provably small — the
+common case after LSH pruning — and distributed min-label propagation
+beyond. Both yield label = min node id per component, and the test
+suite runs every graph shape through both.
+
+Propagation algorithm: min-label to a fixpoint — each round, every node
 takes the minimum label among itself and its neighbors. Converges in
 O(component diameter) rounds; near-dup clusters are dense (everything
 within a few edits of a template), so diameters are tiny. Spark-specific
@@ -34,6 +40,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Near-dup edge sets are orders of magnitude smaller than the corpus
+# (that is the point of LSH/banding): up to this many directed edge
+# rows (~80 MB of id pairs), union-find on the driver beats the
+# iterative path outright — one collect + O(E α(E)) pointer chasing vs
+# several join+agg rounds that each pay full job scheduling. Beyond it
+# (or with a huge isolated-node set to label), the distributed
+# propagation below is the only shape that survives; the edge list is
+# already checkpointed either way, so the cutover costs one cheap
+# count.
+DRIVER_CC_MAX_EDGES = 5_000_000
+
 
 def connected_components(
     nodes: DataFrame,
@@ -54,6 +71,9 @@ def connected_components(
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .localCheckpoint(eager=True)
     )
+    n_edges = adj.count()
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        return _driver_union_find(nodes, adj, node_col)
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=True)
@@ -71,7 +91,7 @@ def connected_components(
     # spark.sql.shuffle.partitions, which would silently re-plan any
     # concurrent query on the shared SparkSession.
     spark = nodes.sparkSession
-    state_rows = max(adj.count(), labels.count())
+    state_rows = max(n_edges, labels.count())
     conf_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     try:
         ceiling = int(conf_parts)
@@ -82,6 +102,51 @@ def connected_components(
     # so every round's neighbor join reads it co-partitioned.
     adj = adj.repartition(iter_parts, "src").localCheckpoint(eager=True)
     return _propagate_to_fixpoint(adj, labels, max_iter, iter_parts)
+
+
+def _driver_union_find(
+    nodes: DataFrame, adj: DataFrame, node_col: str
+) -> DataFrame:
+    """Small-graph fast path: union-find over the collected edge list,
+    labels shipped back as a broadcast map onto the (distributed) node
+    set.
+
+    Only nodes that TOUCH an edge ever reach the driver — the node set
+    itself stays distributed, and untouched nodes become singleton
+    components via the coalesce. Labels are the component-min node id,
+    identical to the propagation fixpoint.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in adj.toLocalIterator():
+        a, b = row["src"], row["dst"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # Union by MIN root so the representative is already the
+            # smallest id — no second pass needed.
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    mapping = [(n, find(n)) for n in parent]
+    spark = nodes.sparkSession
+    lab_df = spark.createDataFrame(mapping, schema="node bigint, _lab bigint")
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(F.broadcast(lab_df), "node", "left")
+        .select("node", F.coalesce("_lab", F.col("node")).alias("label"))
+    )
 
 
 def _propagate_to_fixpoint(
