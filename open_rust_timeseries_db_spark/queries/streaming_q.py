@@ -178,3 +178,40 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now_to_memory(
         spark, agg, mode="complete", state_partitions=_STATE_PARTS
     )
+
+
+@query(
+    "q_stream_ohlc",
+    f"""
+    WITH k AS (
+      SELECT user_id,
+             (epoch_us(ts) // {_WIN_US}) * {_WIN_US} AS win_start_us,
+             value,
+             epoch_us(ts) * 1000 + event_id % 1000 AS ord
+      FROM events
+    )
+    SELECT user_id, win_start_us,
+           arg_min(value, ord) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           arg_max(value, ord) AS close_v,
+           COUNT(*) AS n_ticks,
+           {sql_dsum("value")} AS volume
+    FROM k GROUP BY 1, 2
+    """,
+    doc="Streaming OHLC bars (streaming/pipelines.windowed_ohlc): "
+    "1-minute tumbling windows per symbol with min_by/max_by partials "
+    "that merge across micro-batches — the LIVE half of q_ohlc_bars' "
+    "batch downsample; the batch oracle over the same files must match "
+    "the drained stream bit-for-bit (open/close ride the same total "
+    "BIGINT ordering key, volume the same fixed-point fold).",
+    tags=("streaming", "ohlc", "window"),
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.streaming.pipelines import windowed_ohlc
+
+    stream = events_file_stream(spark, sf_dir)
+    agg = windowed_ohlc(stream)
+    return run_available_now_to_memory(
+        spark, agg, mode="complete", state_partitions=_STATE_PARTS
+    )

@@ -277,3 +277,91 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("dt_us").cast("double") / F.lit(1_000_000.0))
         ).alias("twap"),
     )
+
+
+@query(
+    "q_anomaly_zscore",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             epoch_us(ts) * 1000 + event_id % 1000 AS ord
+      FROM events
+    ), rolled AS (
+      SELECT user_id, ts_us, value,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) OVER w
+                  AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(value*value*1000000 + 0.5) AS BIGINT)) OVER w
+                  AS DOUBLE) / 1000000.0 AS sxx
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ord
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), scored AS (
+      SELECT user_id, ts_us, value, n,
+             sx / n AS mean_v,
+             sxx / n - (sx / n) * (sx / n) AS var_v
+      FROM rolled WHERE n >= 10
+    )
+    SELECT user_id, ts_us, value, n,
+           (value - mean_v) / SQRT(var_v) AS zscore
+    FROM scored
+    WHERE var_v > 1e-9
+      AND ABS((value - mean_v) / SQRT(var_v)) > 2.5
+    """,
+    doc="Rolling z-score anomaly detection — the monitoring staple over "
+    "a tick stream: each point scored against the mean/stddev of its "
+    "own trailing 20-row window (per symbol, total BIGINT tick order), "
+    "emitting points beyond 2.5 sigma. Moments come from fixed-point "
+    "BIGINT window sums (Sx, Sx^2) combined with the identical IEEE "
+    "sequence in both engines — built-in stddev over a frame "
+    "accumulates raw doubles in frame order and is not "
+    "cross-engine-stable. One window sort per symbol partition, "
+    "embarrassingly parallel across symbols at scale; warm-up rows "
+    "(n < 10) and flat windows (var <= 1e-9) are excluded "
+    "deterministically.",
+    tags=("timeseries", "anomaly", "window"),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.queries.helpers import _scaled_long
+
+    ev = events_us(spark, sf_dir).select(
+        "user_id",
+        "ts_us",
+        "value",
+        (F.col("ts_us") * 1000 + F.col("event_id") % 1000).alias("ord"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ord")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    rolled = ev.select(
+        "user_id",
+        "ts_us",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        (
+            F.sum(_scaled_long(F.col("value"))).over(w).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("sx"),
+        (
+            F.sum(_scaled_long(F.col("value") * F.col("value"))).over(w)
+            .cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("sxx"),
+    )
+    n = F.col("n")
+    mean_v = F.col("sx") / n
+    var_v = F.col("sxx") / n - mean_v * mean_v
+    scored = rolled.filter(n >= 10).select(
+        "user_id",
+        "ts_us",
+        "value",
+        "n",
+        mean_v.alias("mean_v"),
+        var_v.alias("var_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.sqrt(F.col("var_v"))
+    return scored.filter(
+        (F.col("var_v") > 1e-9) & (F.abs(z) > 2.5)
+    ).select("user_id", "ts_us", "value", "n", z.alias("zscore"))

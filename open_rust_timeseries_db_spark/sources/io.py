@@ -79,3 +79,32 @@ def write_csv(
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    table_or_schema: str | T.StructType,
+    **options: str,
+) -> DataFrame:
+    """ORC scan with a declared schema — the other columnar lake
+    format; same predicate-pushdown/column-pruning behavior as parquet
+    (ORC carries min/max stripe stats Spark pushes filters into)."""
+    return (
+        spark.read.schema(_schema_for(table_or_schema))
+        .options(**options)
+        .orc(path)
+    )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink, same partitioning contract as write_parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

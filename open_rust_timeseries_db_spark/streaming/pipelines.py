@@ -46,6 +46,52 @@ def windowed_throughput(
     )
 
 
+def windowed_ohlc(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_ts",
+    value_col: str = "value",
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming OHLC bars: per (symbol, tumbling window) open / high /
+    low / close / volume — the live half of q_ohlc_bars' batch
+    downsample (the canonical tick-store consumer the reference's VWAP
+    loop gestures at, reference src/tests/integration_test.rs:240-256).
+
+    open/close are min_by/max_by on the same total BIGINT ordering key
+    the batch twin uses (ts_us*1000 + event_id%1000), so partial states
+    merge across micro-batches without a window sort; volume goes
+    through the fixed-point dsum fold, making the drained result
+    bit-comparable to the batch oracle. Watermark evicts closed
+    windows (bounded state).
+    """
+    ord_key = F.col("ts_us") * 1000 + F.col("event_id") % 1000
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .withColumn("_ord", ord_key)
+        .groupBy(F.col(key_col), F.window(F.col(ts_col), window).alias("win"))
+        .agg(
+            F.min_by(value_col, "_ord").alias("open_v"),
+            F.max(value_col).alias("high_v"),
+            F.min(value_col).alias("low_v"),
+            F.max_by(value_col, "_ord").alias("close_v"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            dsum(value_col).alias("volume"),
+        )
+        .select(
+            F.col(key_col),
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+            "n_ticks",
+            "volume",
+        )
+    )
+
+
 def running_vwap(
     stream: DataFrame,
     key_col: str = "event_type",

@@ -62,3 +62,19 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     )[1].split("]")[0], plan
     src_clicks = src.filter(src.event_type == "click").count()
     assert filtered.count() == src_clicks
+
+
+def test_orc_roundtrip_events(spark, tmp_path):
+    """ORC write -> declared-schema read must be lossless (the second
+    columnar lake format; stripe-stat pushdown comes free)."""
+    from open_rust_timeseries_db_spark.sources.io import read_orc, write_orc
+
+    src = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path, "events")
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    a = sorted(tuple(r) for r in src.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
