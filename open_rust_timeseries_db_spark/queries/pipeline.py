@@ -426,3 +426,147 @@ def q_scrub_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("has_long_token").cast("bigint").alias("n_long_token"),
         F.sum("has_at_sign").cast("bigint").alias("n_at_sign"),
     )
+
+
+_CTX_TOKENS = 2048
+
+
+@query(
+    "q_pack_plan",
+    f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_N_SHARDS} AS shard,
+             length({_SQL_TOKS}) AS n_toks
+      FROM documents
+    ), planned AS (
+      SELECT shard, doc_id, n_toks,
+             CAST((SUM(n_toks) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) - 1) // {_CTX_TOKENS} AS BIGINT) AS bin_id
+      FROM sized
+    )
+    SELECT shard, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM planned GROUP BY 1, 2
+    """,
+    doc=f"Context-window packing plan: within each training shard, docs "
+    "are laid end-to-end in doc_id order and cut into "
+    f"{_CTX_TOKENS}-token bins by cumulative token count — the "
+    "sequence-packing step that turns a document corpus into fixed-"
+    "length training examples. Deterministic by construction (integer "
+    "cumulative sums over a total order; bin = (cumsum-1) div "
+    "ctx_len). Scale: one window sort per shard partition — shards "
+    "are the parallelism unit, exactly how a packing job runs on a "
+    "real cluster; no global sort anywhere.",
+    tags=("pipeline", "packing"),
+)
+def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _N_SHARDS
+    )
+    sized = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(tokens("text")).cast("bigint").alias("n_toks"),
+    )
+    planned = sized.select(
+        "shard",
+        "doc_id",
+        "n_toks",
+        F.expr(f"(sum(n_toks) over (partition by shard order by doc_id "
+               f"rows unbounded preceding) - 1) div {_CTX_TOKENS}")
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return planned.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# Per-source keep-rates for the deterministic mixture: percent of each
+# source admitted to the training mix (a web-heavy corpus downweighted,
+# curated sources kept whole — the standard mixture-rebalancing move).
+_MIX_RATES: tuple[tuple[str, int], ...] = (
+    ("web", 25),
+    ("wiki", 100),
+    ("books", 100),
+    ("code", 50),
+    ("news", 75),
+)
+
+
+@query(
+    "q_mixture_sample",
+    f"""
+    WITH rates(source, keep_pct) AS (
+      SELECT * FROM (VALUES {", ".join(f"('{s}', {p})" for s, p in _MIX_RATES)})
+                    v(source, keep_pct)
+    ), tagged AS (
+      SELECT d.source,
+             COALESCE(r.keep_pct, 10) AS keep_pct,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+                                               9, 8)) AS BIGINT) % 100
+                       < COALESCE(r.keep_pct, 10)
+                  THEN 1 ELSE 0 END AS kept,
+             length({_SQL_TOKS.replace('text', 'd.text')}) AS n_toks
+      FROM documents d LEFT JOIN rates r ON r.source = d.source
+    )
+    SELECT source,
+           CAST(MAX(keep_pct) AS BIGINT) AS keep_pct,
+           COUNT(*) AS n_total,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM tagged GROUP BY source
+    """,
+    doc="Deterministic dataset-mixture sampling: each source gets a "
+    "keep-rate (web downweighted, curated sources kept; unknown "
+    "sources default 10%), and a doc is kept iff an md5-derived "
+    "per-doc uniform (hex chars 9-16, INDEPENDENT of the q_train_shards "
+    "shard hash at chars 1-8) falls under the rate — reproducible "
+    "sampling with no RNG state, the property that makes a 100 TB "
+    "mixture re-runnable and auditable. Reports per-source admitted "
+    "doc/token counts. One narrow map + broadcast rate join + one "
+    "hash-agg.",
+    tags=("pipeline", "mixture", "sampling"),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rates = docs.sparkSession.createDataFrame(
+        list(_MIX_RATES), schema="source string, keep_pct int"
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    tagged = (
+        docs.join(F.broadcast(rates), "source", "left")
+        .withColumn("keep_pct", F.coalesce("keep_pct", F.lit(10)))
+        .select(
+            "source",
+            "keep_pct",
+            F.when(u < F.col("keep_pct"), 1).otherwise(0).alias("kept"),
+            F.size(tokens("text")).cast("bigint").alias("n_toks"),
+        )
+    )
+    return tagged.groupBy("source").agg(
+        F.max("keep_pct").cast("bigint").alias("keep_pct"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept") == 1, F.col("n_toks")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
