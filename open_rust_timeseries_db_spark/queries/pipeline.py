@@ -154,7 +154,14 @@ def q_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # The (doc, term) count table feeds BOTH the df rollup and the
+    # scored join; Spark shares no subplans across branches, so
+    # checkpoint it once — the explode+agg is the corpus-sized work.
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -240,15 +247,20 @@ _BM25_TERMS = ("the", "data", "of")
 def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Four consumers hang off the token stream (dl, corpus stats, tf,
+    # df); without materialization each branch re-runs the corpus
+    # explode. One checkpointed (doc, term) count table feeds them all
+    # — dl re-aggregates its partials, tf filters it, df rolls tf up.
+    tfall = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tfall.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_total")
     )
-    tf = (
-        toks.filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tfall.filter(F.col("tok").isin(*_BM25_TERMS))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     term = (
         (F.col("n_docs").cast("double") / F.col("df"))
