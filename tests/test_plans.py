@@ -146,3 +146,27 @@ def test_broadcast_hint_survives_in_topk(spark):
     orders = load_table(spark, SF_DIR, "orders")
     df = orders.orderBy(F.col("o_totalprice").desc()).limit(10)
     assert "TakeOrderedAndProject" in plan_string(df, "simple")
+
+
+def test_pipeline_dictionary_sides_broadcast(spark, qs):
+    """Vocabulary/dictionary-sized join sides in the curation queries
+    must broadcast — shuffling the corpus to meet a vocab-sized table
+    is wrong at any scale."""
+    for name in ("q_tfidf_topterms", "q_mixture_sample", "q_ngram_lm_bigrams"):
+        df = qs[name].fn(spark, SF_DIR)
+        assert has_broadcast_hash_join(df), f"{name}: {plan_string(df, 'simple')}"
+
+
+def test_packing_window_is_shard_partitioned(spark, qs):
+    """q_pack_plan's cumulative-sum window must partition by shard —
+    a single-partition window would serialize the whole corpus."""
+    df = qs["q_pack_plan"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "hashpartitioning(shard" in plan, plan
+
+
+def test_anomaly_window_is_symbol_partitioned(spark, qs):
+    """q_anomaly_zscore's rolling frame must partition by symbol."""
+    df = qs["q_anomaly_zscore"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "hashpartitioning(user_id" in plan, plan
