@@ -35,8 +35,20 @@ def spread_scan(df: DataFrame, partitions: int | None = None) -> DataFrame:
     Gated on the actual scan partition count so it is a NO-OP at scale:
     a real multi-row-group / multi-file corpus already splits, and the
     full-data shuffle this would add there is exactly what we avoid.
+
+    The ``df.rdd`` probe materializes a physical plan (~tens of ms);
+    catalog tables are cached per application (sources/catalog.py), so
+    the count is memoized on the DataFrame object itself — one probe
+    per table per session instead of one per query invocation.
     """
-    if df.rdd.getNumPartitions() > 1:
+    nparts = getattr(df, "_spread_scan_nparts", None)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        try:
+            df._spread_scan_nparts = nparts
+        except AttributeError:  # exotic DataFrame proxy; skip memo
+            pass
+    if nparts > 1:
         return df
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
