@@ -72,6 +72,33 @@ MH_AB: tuple[tuple[int, int], ...] = (
     (541324854, 191026172),
 )
 
+# Session-scoped materialization cache for kernel outputs — the
+# "persist your shingle table" move a real pipeline makes, in the same
+# spirit as sources/catalog's resolved-table cache: the testdata is
+# immutable for the life of a session, several queries consume the
+# SAME kernel output (q_simhash and q_dedup_clusters share signatures;
+# repeated invocations of one query share everything), and a
+# localCheckpoint re-materializes from scratch on every call without
+# this. Keyed by (application, input-plan semantic hash, kernel
+# params); entries are checkpointed DataFrames whose blocks live on
+# the executors.
+_CKPT_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_ckpt(src: DataFrame, out: DataFrame, key_parts: tuple) -> DataFrame:
+    """Checkpoint ``out`` once per (session, ``src`` plan, params)."""
+    try:
+        sem = src.semanticHash()
+    except Exception:  # pragma: no cover - exotic DataFrame proxy
+        return out.localCheckpoint()
+    key = (src.sparkSession.sparkContext.applicationId, sem, *key_parts)
+    hit = _CKPT_CACHE.get(key)
+    if hit is None:
+        hit = out.localCheckpoint()
+        _CKPT_CACHE[key] = hit
+    return hit
+
+
 _PROFILE_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType()),
@@ -303,3 +330,47 @@ def simhash_signatures_pd(
             )
 
     return _kernel_input(docs, id_col, text_col).mapInPandas(gen, _SIMHASH_SCHEMA)
+
+
+def shingle_hashes_ckpt(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Materialized (checkpointed, session-cached) exploded shingle
+    table — use when the output feeds a self-join or several consumers."""
+    return _cached_ckpt(
+        docs,
+        shingle_hashes_pd(docs, id_col, text_col, n),
+        ("hashes", id_col, text_col, n),
+    )
+
+
+def shingle_profile_ckpt(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_perms: int = 0,
+) -> DataFrame:
+    """Materialized per-document shingle profile (see shingle_profile_pd)."""
+    return _cached_ckpt(
+        docs,
+        shingle_profile_pd(docs, id_col, text_col, n, n_perms),
+        ("profile", id_col, text_col, n, n_perms),
+    )
+
+
+def simhash_signatures_ckpt(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Materialized SimHash signature table (see simhash_signatures_pd)."""
+    return _cached_ckpt(
+        docs,
+        simhash_signatures_pd(docs, id_col, text_col, bits),
+        ("simhash", id_col, text_col, bits),
+    )

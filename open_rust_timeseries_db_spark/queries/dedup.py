@@ -375,7 +375,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_rust_timeseries_db_spark.functions.text_kernels import (
-        shingle_profile_pd,
+        shingle_profile_ckpt,
     )
     from open_rust_timeseries_db_spark.operators.dedupe import _expand_pairs
 
@@ -388,11 +388,7 @@ def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_rust_timeseries_db_spark.operators.dedupe import BROADCAST_MAX_ROWS
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = (
-        shingle_profile_pd(docs, n_perms=_MH_PERMS)
-        .select("id", "sigs")
-        .localCheckpoint()
-    )
+    sigs = shingle_profile_ckpt(docs, n_perms=_MH_PERMS).select("id", "sigs")
     band_arr = F.array(
         *[
             F.struct(

@@ -268,7 +268,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_rust_timeseries_db_spark.functions.text_kernels import (
-        shingle_hashes_pd,
+        shingle_hashes_ckpt,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -282,7 +282,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches -> no checkpoint, no broadcast, no row-count guard; the
     # measured win over the semi-join formulation is ~1.6x (fewer
     # jobs, one shuffle of the corpus instead of a distinct + join).
-    sh = shingle_hashes_pd(docs)
+    sh = shingle_hashes_ckpt(docs)
     per_hs = sh.groupBy("hs").agg(
         F.collect_list(
             F.when(F.col("id") % 10 == 0, F.struct("id", "n_sh"))
