@@ -48,20 +48,26 @@ def main() -> None:
         dot_fx_pd(F.array(F.lit(1.0)), F.array(F.lit(1.0)))
     ).write.format("noop").mode("overwrite").save()
 
-    # Two timed passes, report the per-query MIN. Pass 1 additionally
-    # pays each query's one-time JIT/codegen compilation; taking the
-    # minimum reads through both that and transient VM interference
-    # (host CPU steal hits whichever query is running during a throttle
-    # window — rarely the same query in both passes). The min is the
-    # steady-state throughput a long-lived cluster session sees. Two
-    # passes, not three: at ~77 queries a third pass adds minutes of
-    # wall-clock for marginal noise reduction, and the harness budget
-    # is better spent finishing than re-measuring.
-    for _ in range(2):
+    # Two timed passes. "queries" reports the per-query MIN (warm
+    # steady state: pass 1 additionally pays one-time JIT/codegen
+    # compilation, and session caches — kernel/tf tables — are
+    # populated, so pass 2 is the long-lived-session number).
+    # "queries_cold" reports PASS 1 as-is: the first invocation a fresh
+    # session pays, including cache materialization. The round-2
+    # verdict flagged min-of-passes as flattering the cached dedup
+    # family — the perf gate is judged on cold (scripts/oracle_bench).
+    # Caveat recorded here once: queries sharing a session-cached
+    # corpus table (shingles, tf) run alphabetically, so a later
+    # query's pass-1 can still hit a cache an earlier query built;
+    # cold is per-SESSION-first-invocation, not per-query-isolated.
+    cold: dict[str, float] = {}
+    for pass_i in range(2):
         for name, spec in sorted(specs.items()):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 4)
+            if pass_i == 0:
+                cold[name] = elapsed
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 4)
@@ -72,6 +78,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "cold_total": round(sum(cold.values()), 4),
                 "sf": sf,
             }
         )

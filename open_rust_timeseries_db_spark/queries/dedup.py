@@ -2,9 +2,14 @@
 driver-mandated LLM-pipeline operators (SURVEY.md §2.4): exact dedup,
 MinHash-LSH near-dup, SimHash, n-gram Jaccard, embedding-cosine near-dup.
 
-Oracle strategy: everything whose hash functions both engines share
-(md5) or that is pure integer/set arithmetic is oracle-checked; the
-MinHash pipeline uses xxhash64 (JVM-only) and is rows-only checked.
+Oracle strategy: every query here is fully oracle-checked. The hash
+functions both engines share (md5, and the affine universal-hash
+permutations built on md5 base hashes) cover the MinHash pipelines —
+including the production q_dedup_near, whose 16-perm md5-affine family
+is reproduced exactly by its DuckDB oracle — and the rest is pure
+integer/set arithmetic. (Round 1's xxhash64 signatures, which forced a
+rows-only check on q_dedup_near, were replaced by the md5-affine Arrow
+kernel in round 2.)
 """
 
 from __future__ import annotations
@@ -364,9 +369,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "3-shingles), banded 4x2 — a pair is a "
     "candidate iff one band (2 consecutive perms) matches exactly; "
     "est_jaccard = matching perms / 8. The production-tuned twin "
-    "(q_dedup_near) uses xxhash64 (JVM-only, cheaper) and so gets a "
-    "rows-only check; THIS query pins the whole MinHash pipeline — "
-    "signatures, banding, candidate generation, estimation — "
+    "(q_dedup_near) runs the same md5-affine family at 16 perms with "
+    "exact-Jaccard verification and is equally oracle-checked; THIS "
+    "query pins the estimation arithmetic — signatures, banding, "
+    "candidate generation, matching-perm counts — "
     "bit-for-bit against DuckDB. Shape matches the scale path: "
     "signatures are computed per-row (zero shuffle), banding is one "
     "groupBy, pairs expand inline from bucket lists (never a "
@@ -375,9 +381,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_rust_timeseries_db_spark.functions.text_kernels import (
+        cached_count,
         shingle_profile_ckpt,
     )
-    from open_rust_timeseries_db_spark.operators.dedupe import _expand_pairs
+    from open_rust_timeseries_db_spark.operators.dedupe import (
+        _broadcast_fits,
+        _expand_pairs,
+    )
 
     # Signatures come from the Arrow kernel (one narrow pass; md5 once
     # per unique shingle per batch, affine permutations vectorized in
@@ -385,10 +395,9 @@ def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~5x the throughput of the interpreted transform/aggregate HOF
     # chain it replaced (round-1 verdict measured that at 4.4x the
     # oracle's wall time).
-    from open_rust_timeseries_db_spark.operators.dedupe import BROADCAST_MAX_ROWS
-
     docs = load_table(spark, sf_dir, "documents")
-    sigs = shingle_profile_ckpt(docs, n_perms=_MH_PERMS).select("id", "sigs")
+    prof = shingle_profile_ckpt(docs, n_perms=_MH_PERMS)
+    sigs = prof.select("id", "sigs")
     band_arr = F.array(
         *[
             F.struct(
@@ -402,12 +411,15 @@ def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select("id", "sigs", F.explode(band_arr).alias("bb")).select(
         "id", "sigs", "bb.band", "bb.k0", "bb.k1"
     )
-    if sigs.count() <= BROADCAST_MAX_ROWS:
+    # Broadcast rows carry the 8-long sigs array (~64B values) plus
+    # struct overhead, _MH_BANDS rows per doc. cached_count reads the
+    # session cache's memoized stat — no Spark job.
+    if _broadcast_fits(cached_count(prof) * _MH_BANDS, 128):
         # Broadcast band self-join with the signature arrays carried
         # through: candidate pairs are few (the whole point of LSH), so
         # hauling both sides' sigs through the pair-dedup shuffle is
         # cheaper than two re-attach joins (fewer jobs, one broadcast).
-        # See operators/dedupe.BROADCAST_MAX_ROWS.
+        # See operators/dedupe.BROADCAST_MAX_BYTES.
         pairs = (
             bands.select(
                 F.col("id").alias("a"), F.col("sigs").alias("sa"), "band", "k0", "k1"
@@ -429,7 +441,10 @@ def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .dropDuplicates(["a", "b"])
         )
     else:
-        groups = bands.join(sigs, "id").groupBy("band", "k0", "k1").agg(
+        # Scale path: bands already carries sigs — grouping it directly
+        # avoids a redundant (and, with sigs on both sides, ambiguous)
+        # re-attach join. One shuffle, inline pair expansion.
+        groups = bands.groupBy("band", "k0", "k1").agg(
             F.collect_list(F.struct("id", "sigs")).alias("ms")
         )
         pairs = (

@@ -46,55 +46,95 @@ def main() -> None:
         )
 
     specs = all_queries()
-    duck_t: dict[str, float] = {}
+    duck_cold: dict[str, float] = {}
+    duck_warm: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         if not spec.oracle:
             continue
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
             t0 = time.perf_counter()
             con.execute(spec.oracle).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        duck_t[name] = best
+            dt = time.perf_counter() - t0
+            if i == 0:
+                duck_cold[name] = dt
+            best = min(best, dt)
+        duck_warm[name] = best
 
-    spark_t: dict[str, float] = {}
+    spark_cold: dict[str, float] = {}
+    spark_warm: dict[str, float] = {}
     if bench_path:
-        spark_t = json.load(open(bench_path))["queries"]
+        bench = json.load(open(bench_path))
+        spark_warm = bench["queries"]
+        # Older BENCH files predate the cold column; fall back to warm
+        # (flagged in the policy string below).
+        spark_cold = bench.get("queries_cold", spark_warm)
 
-    print(f"{'query':30s} {'duck':>7s} {'spark':>7s} {'ratio':>6s}")
+    # The 2x gate (BASELINE.md) is judged on COLD: what a first
+    # invocation in a fresh session pays, session-cache materialization
+    # included. Warm (min of passes) is the long-lived-session number —
+    # reported, not gated (round-2 verdict: min-of-passes flattered the
+    # cached dedup family).
+    print(f"{'query':30s} {'d.cold':>7s} {'d.warm':>7s} {'s.cold':>7s} "
+          f"{'s.warm':>7s} {'r.cold':>6s} {'r.warm':>6s}")
     rows = []
-    for name, dt in duck_t.items():
-        st = spark_t.get(name)
-        ratio = (st / dt) if st is not None and dt > 0 else None
-        rows.append((name, dt, st, ratio))
-    rows.sort(key=lambda r: -(r[3] or 0))
-    n_fail = 0
-    for name, dt, st, ratio in rows:
+    for name in duck_cold:
+        dc, dw = duck_cold[name], duck_warm[name]
+        sc, sw = spark_cold.get(name), spark_warm.get(name)
+        rc = (sc / dc) if sc is not None and dc > 0 else None
+        rw = (sw / dw) if sw is not None and dw > 0 else None
+        rows.append((name, dc, dw, sc, sw, rc, rw))
+    rows.sort(key=lambda r: -(r[5] or 0))
+    n_fail_cold = n_fail_warm = 0
+    nan = float("nan")
+    for name, dc, dw, sc, sw, rc, rw in rows:
         flag = ""
-        if ratio is not None and ratio > 2.0:
-            flag = "  <-- over 2x gate"
-            n_fail += 1
+        if rc is not None and rc > 2.0:
+            flag = "  <-- over 2x gate (cold)"
+            n_fail_cold += 1
+        if rw is not None and rw > 2.0:
+            n_fail_warm += 1
         print(
-            f"{name:30s} {dt:7.3f} "
-            f"{st if st is not None else float('nan'):7.3f} "
-            f"{ratio if ratio is not None else float('nan'):6.2f}{flag}"
+            f"{name:30s} {dc:7.3f} {dw:7.3f} "
+            f"{sc if sc is not None else nan:7.3f} "
+            f"{sw if sw is not None else nan:7.3f} "
+            f"{rc if rc is not None else nan:6.2f} "
+            f"{rw if rw is not None else nan:6.2f}{flag}"
         )
-    print(f"== {len(rows) - n_fail} within gate, {n_fail} over ==")
-    print(json.dumps({"duck_total": round(sum(duck_t.values()), 3)}))
+    print(
+        f"== cold: {len(rows) - n_fail_cold} within gate, {n_fail_cold} over"
+        f" | warm: {len(rows) - n_fail_warm} within, {n_fail_warm} over =="
+    )
+    print(json.dumps({"duck_total_warm": round(sum(duck_warm.values()), 3)}))
 
     out = {
         "sf_dir": sf_dir,
-        "policy": "min of 2 passes, same as bench.py",
+        "policy": (
+            "cold = pass 1 (fresh-session first invocation, cache "
+            "materialization included; queries sharing a session-cached "
+            "corpus table run alphabetically, so a later query's cold can "
+            "hit a cache an earlier one built), warm = min of 2 passes; "
+            "gate judged on cold"
+            + ("" if "queries_cold" in (bench or {}) else
+               "; WARNING: bench file had no queries_cold, cold==warm")
+            if bench_path
+            else "cold = pass 1, warm = min of 2 passes; no bench file"
+        ),
         "queries": {
             name: {
-                "oracle_sec": round(dt, 4),
-                "spark_sec": (round(st, 4) if st is not None else None),
-                "ratio": (round(ratio, 2) if ratio is not None else None),
+                "oracle_cold_sec": round(dc, 4),
+                "oracle_warm_sec": round(dw, 4),
+                "spark_cold_sec": (round(sc, 4) if sc is not None else None),
+                "spark_warm_sec": (round(sw, 4) if sw is not None else None),
+                "ratio_cold": (round(rc, 2) if rc is not None else None),
+                "ratio_warm": (round(rw, 2) if rw is not None else None),
             }
-            for name, dt, st, ratio in rows
+            for name, dc, dw, sc, sw, rc, rw in rows
         },
-        "oracle_total_sec": round(sum(duck_t.values()), 3),
-        "n_over_2x": n_fail,
+        "oracle_total_warm_sec": round(sum(duck_warm.values()), 3),
+        "oracle_total_cold_sec": round(sum(duck_cold.values()), 3),
+        "n_over_2x": n_fail_cold,
+        "n_over_2x_warm": n_fail_warm,
     }
     out_path = Path(__file__).resolve().parent.parent / "ORACLE_BENCH.json"
     out_path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")

@@ -104,10 +104,14 @@ def test_python_confined_to_designated_operators(spark, qs):
             continue  # streaming plans are checked by execution
         df = spec.fn(spark, SF_DIR)
         if name in allowed:
-            # A kernel behind an (already-executed) localCheckpoint
-            # shows as an ExistingRDD scan, not an InPandas node.
-            assert has_python_eval(df) or "ExistingRDD" in plan_string(
-                df, "simple"
+            # A kernel behind the session cache shows as an
+            # InMemoryTableScan (persist) — or, historically, an
+            # ExistingRDD scan (localCheckpoint) — not an InPandas node.
+            plan = plan_string(df, "simple")
+            assert (
+                has_python_eval(df)
+                or "InMemoryTableScan" in plan
+                or "ExistingRDD" in plan
             ), f"{name} should use the Arrow path"
         else:
             assert not has_python_eval(df), f"{name} unexpectedly runs Python"
@@ -170,3 +174,43 @@ def test_anomaly_window_is_symbol_partitioned(spark, qs):
     df = qs["q_anomaly_zscore"].fn(spark, SF_DIR)
     plan = plan_string(df, "simple")
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_sliding_window_two_phase_plan(spark, qs):
+    """q_sliding_window's intended shape: pre-aggregate into slide
+    buckets (shuffle 1), explode buckets 10x, re-aggregate windows
+    (shuffle 2). Spark's window(ts, w, s) built-in would explode every
+    EVENT 10x before the first shuffle — a width/slide-fold more
+    shuffle rows at any scale. Pinned after the round-2 bench moved
+    +32% on this query (host variance, but the plan is the invariant
+    worth guarding)."""
+    df = qs["q_sliding_window"].fn(spark, SF_DIR)
+    assert count_exchanges(df) == 2, plan_string(df, "simple")
+    assert not has_python_eval(df)
+
+
+def test_warm_plan_build_runs_zero_jobs(spark, qs):
+    """Building a query PLAN on a warm session must launch no Spark
+    jobs: the broadcast-vs-grouped cutovers read memoized stats
+    (cached_count/cached_avg) and the scan-split probe is memoized per
+    catalog table — a driver-side .count() per invocation is a blocking
+    job serialized before the real query at any scale (round-2 verdict
+    'What's wrong' #3)."""
+    warm = (
+        "q_dedup_near",
+        "q_minhash_jaccard",
+        "q_ngram_jaccard",
+        "q_simhash",
+        "q_contamination",
+        "q_tfidf_topterms",
+        "q_bm25_rank",
+        "q_ngram_lm_bigrams",
+    )
+    for name in warm:  # populate session caches (jobs expected here)
+        qs[name].fn(spark, SF_DIR)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    for name in warm:  # plan-build only: no action, so no jobs allowed
+        qs[name].fn(spark, SF_DIR)
+    after = set(spark.sparkContext.statusTracker().getJobIdsForGroup())
+    assert after == before, f"warm plan build launched jobs: {sorted(after - before)}"
