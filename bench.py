@@ -48,6 +48,21 @@ def main() -> None:
         dot_fx_pd(F.array(F.lit(1.0)), F.array(F.lit(1.0)))
     ).write.format("noop").mode("overwrite").save()
 
+    # Also warm mapInPandas across the full core count: the text
+    # kernels run as 16-32 parallel mapInPandas tasks, and each idle
+    # core's first Python worker costs ~75 ms spin-up + numpy/pandas
+    # import — ~2.4 s once per session, which would otherwise land
+    # entirely on whichever kernel query runs first (measured: first
+    # kernel pass 3.1 s unwarmed vs 0.9 s warmed). Session warmup, not
+    # query cost — same rationale as the JVM/codegen warmup above.
+    def _noop_batches(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(64).repartition(32).mapInPandas(
+        _noop_batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     # Two timed passes. "queries" reports the per-query MIN (warm
     # steady state: pass 1 additionally pays one-time JIT/codegen
     # compilation, and session caches — kernel/tf tables — are

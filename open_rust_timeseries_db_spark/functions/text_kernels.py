@@ -101,7 +101,9 @@ MH_AB: tuple[tuple[int, int], ...] = (
 #   cutovers read a Python attribute instead of running a Spark job
 #   per query invocation.
 _CKPT_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
-_CKPT_CACHE_MAX = 16
+# Sized for two live corpora (the pytest suite works sf0.001 and
+# sf0.01 in one session) x ~8 derived tables each, with headroom.
+_CKPT_CACHE_MAX = 32
 
 
 def mark_count(df: DataFrame, n: int) -> DataFrame:
@@ -528,3 +530,52 @@ def bigram_counts_ckpt(
     ).select(F.substring_index("bigram", " ", 1).alias("w1"), "bigram")
     bc = big.groupBy("bigram", "w1").agg(F.count(F.lit(1)).alias("n_bigram"))
     return _cached_ckpt(docs, bc, ("bigram_counts", id_col, text_col))
+
+
+def doc_lengths_ckpt(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Session-cached per-document token counts (id_col, dl) — a rollup
+    of the cached tf table (re-aggregates partials, never re-tokenizes).
+    The BM25 length-normalization side."""
+    tf = doc_term_tf_ckpt(docs, id_col, text_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    return _cached_ckpt(docs, dl, ("doc_lengths", id_col, text_col))
+
+
+def term_df_ckpt(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Session-cached per-term document frequencies (tok, df) — the
+    vocabulary-sized idf dictionary TF-IDF broadcasts onto tf."""
+    tf = doc_term_tf_ckpt(docs, id_col, text_col)
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return _cached_ckpt(docs, df, ("term_df", id_col, text_col))
+
+
+def bigram_prefix_ckpt(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Session-cached bigram-prefix totals (w1, n_prefix) — the
+    conditional-probability denominator table for the bigram LM."""
+    bc = bigram_counts_ckpt(docs, id_col, text_col)
+    pc = bc.groupBy("w1").agg(F.sum("n_bigram").alias("n_prefix"))
+    return _cached_ckpt(docs, pc, ("bigram_prefix", id_col, text_col))
+
+
+def cached_row(df: DataFrame, key: str, *aggs) -> tuple:
+    """First row of ``df.agg(*aggs)``, memoized on the DataFrame object.
+
+    For corpus-level scalar statistics (doc counts, token totals) over
+    session-cached tables: the values become plan LITERALS downstream,
+    deleting a broadcast-build job per query invocation. One tiny agg
+    job over cached blocks cold, attribute access warm."""
+    attr = f"_orts_row_{key}"
+    v = getattr(df, attr, None)
+    if v is None:
+        v = tuple(df.agg(*aggs).first())
+        try:
+            setattr(df, attr, v)
+        except AttributeError:  # pragma: no cover
+            pass
+    return v

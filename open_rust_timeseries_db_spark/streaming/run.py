@@ -14,9 +14,20 @@ stop. Sinks:
 
 from __future__ import annotations
 
+import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Bounded verification drains put their checkpoint (offset/commit logs
+# + state files, several fsyncs per micro-batch) on tmpfs when the host
+# has one: measured ~25% off q_stream_ohlc wall time. Semantically safe
+# HERE ONLY because the memory sink is already ephemeral — the drain is
+# a one-shot verification, not a resumable pipeline. A durable pipeline
+# (foreach_batch_parquet) must checkpoint to durable storage; never
+# copy this into one.
+_SHM_CKPT_ROOT = "/dev/shm/spark-graft-ckpt"
 
 
 def run_available_now_to_memory(
@@ -46,18 +57,23 @@ def run_available_now_to_memory(
     """
     name = f"mem_{uuid.uuid4().hex[:12]}"
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    ckpt_dir = None
+    if os.path.isdir("/dev/shm"):
+        ckpt_dir = os.path.join(_SHM_CKPT_ROOT, name)
     if state_partitions is not None:
         # Captured at .start() when the stateful plan is bound; restored
         # immediately after so batch queries are unaffected.
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
+        writer = (
             stream.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if ckpt_dir is not None:
+            writer = writer.option("checkpointLocation", ckpt_dir)
+        q = writer.start()
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -66,6 +82,8 @@ def run_available_now_to_memory(
     finally:
         if q.isActive:
             q.stop()
+        if ckpt_dir is not None:
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.table(name)
 
 
