@@ -96,8 +96,8 @@ MH_AB: tuple[tuple[int, int], ...] = (
 #   switch from localCheckpoint to persist() is what makes eviction
 #   possible — checkpointed RDD blocks have no clean Python-side
 #   release path);
-# - each materialized entry memoizes its row count (the count IS the
-#   materialization action), so downstream broadcast-vs-grouped
+# - entries memoize their row count / column averages on first use
+#   (cached_count / cached_avg), so downstream broadcast-vs-grouped
 #   cutovers read a Python attribute instead of running a Spark job
 #   per query invocation.
 _CKPT_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
@@ -161,14 +161,21 @@ def ensure_materialized(df: DataFrame) -> DataFrame:
 
 
 def _cached_ckpt(src: DataFrame, out: DataFrame, key_parts: tuple) -> DataFrame:
-    """Materialize ``out`` once per (session, ``src`` plan, params)."""
+    """Session-cache ``out`` once per (session, ``src`` plan, params).
+
+    The persist is LAZY: the first consumer's own job materializes the
+    blocks, so a single-lineage consumer (q_contamination) pays ONE
+    cold pass, not persist-pass + query-pass. Multi-branch consumers
+    are still safe un-materialized — their broadcast-build job executes
+    (and caches) the table before the probe side reads it — and the
+    stat-gated paths (broadcast cutovers) force materialization at plan
+    time anyway through cached_count/cached_avg, which memoize on the
+    returned object."""
     try:
         sem = src.semanticHash()
         plan = src._jdf.queryExecution().analyzed().toString()
     except Exception:  # pragma: no cover - exotic DataFrame proxy
-        mat = out.persist()
-        mark_count(mat, mat.count())
-        return mat
+        return out.persist()
     key = (
         src.sparkSession.sparkContext.applicationId,
         sem,
@@ -180,7 +187,6 @@ def _cached_ckpt(src: DataFrame, out: DataFrame, key_parts: tuple) -> DataFrame:
         _CKPT_CACHE.move_to_end(key)
         return hit
     mat = out.persist()
-    mark_count(mat, mat.count())
     _CKPT_CACHE[key] = mat
     while len(_CKPT_CACHE) > _CKPT_CACHE_MAX:
         _, old = _CKPT_CACHE.popitem(last=False)
@@ -561,6 +567,26 @@ def bigram_prefix_ckpt(
     bc = bigram_counts_ckpt(docs, id_col, text_col)
     pc = bc.groupBy("w1").agg(F.sum("n_bigram").alias("n_prefix"))
     return _cached_ckpt(docs, pc, ("bigram_prefix", id_col, text_col))
+
+
+def cached_collect(src: DataFrame, key: str, out: DataFrame) -> list:
+    """``out.collect()``, memoized on the (stable, catalog-cached)
+    ``src`` DataFrame object under ``key``.
+
+    For small corpus-pure driver-side matrices (IVF centroids, query
+    vectors): the collect job runs once per session; every later
+    invocation reads a Python attribute. ``src`` must be the
+    session-stable object (e.g. a catalog table), not a per-invocation
+    derivation."""
+    attr = f"_orts_collect_{key}"
+    v = getattr(src, attr, None)
+    if v is None:
+        v = out.collect()
+        try:
+            setattr(src, attr, v)
+        except AttributeError:  # pragma: no cover
+            pass
+    return v
 
 
 def cached_row(df: DataFrame, key: str, *aggs) -> tuple:

@@ -126,6 +126,18 @@ def cosine_from_parts(dot_raw: Column, n2a_raw: Column, n2b_raw: Column) -> Colu
     )
 
 
+def _driver_rows(df_or_rows, *cols):
+    """Collect ``(…cols)`` rows, or pass a pre-collected list through.
+
+    Callers that invoke repeatedly on an immutable corpus pass the
+    memoized list (functions/text_kernels.cached_collect) so the
+    driver-side matrix costs one Spark job per session, not one per
+    invocation."""
+    if isinstance(df_or_rows, list):
+        return df_or_rows
+    return df_or_rows.select(*cols).collect()
+
+
 def ivf_assign(
     emb,
     centroids,
@@ -149,7 +161,7 @@ def ivf_assign(
 
     from pyspark.sql import types as T
 
-    cent_rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    cent_rows = _driver_rows(centroids, centroid_id_col, centroid_vec_col)
     c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
     c_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
     c_n2 = np.floor(c_mat * c_mat * FX_SCALE).astype(np.int64).sum(axis=1)
@@ -227,7 +239,7 @@ def local_topk_cosine(
 
     from pyspark.sql import types as T
 
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_rows = _driver_rows(queries, query_id_col, query_vec_col)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_n2 = np.floor(q_mat * q_mat * FX_SCALE).astype(np.int64).sum(axis=1)
@@ -311,7 +323,7 @@ def ivf_probe_search(
 
     from pyspark.sql import types as T
 
-    cent_rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    cent_rows = _driver_rows(centroids, centroid_id_col, centroid_vec_col)
     c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
     c_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
     order = np.argsort(c_ids, kind="stable")
@@ -319,7 +331,7 @@ def ivf_probe_search(
     c_n2 = np.floor(c_mat * c_mat * FX_SCALE).astype(np.int64).sum(axis=1)
     c_den = np.sqrt(c_n2 / FX_SCALE)
 
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_rows = _driver_rows(queries, query_id_col, query_vec_col)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_n2 = np.floor(q_mat * q_mat * FX_SCALE).astype(np.int64).sum(axis=1)

