@@ -453,6 +453,79 @@ def simhash_signatures_pd(
     return _kernel_input(docs, id_col, text_col).mapInPandas(gen, _SIMHASH_SCHEMA)
 
 
+_WINNOW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+
+def winnow_fp_pd(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints in one Arrow pass: (id, fp) — the
+    distinct per-window minima of the doc's ordered n-gram hashes
+    (window = ``w`` consecutive hashes, the MOSS selection rule).
+
+    The hash is the 60-bit md5 prefix (first 15 hex chars) — the same
+    cross-engine-exact construction as the SimHash token hash — because
+    ``fp`` IS surfaced and oracle-compared, unlike the shingle join
+    keys. Per batch: md5 once per unique shingle (memo), rolling min
+    via a stride-tricks window view, np.unique per doc. Zero shuffle:
+    one output row per (doc, selected fingerprint).
+
+    Docs shorter than n + w - 1 tokens have no complete window and
+    emit nothing, matching the oracle's frame-size filter.
+    """
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            memo: dict[str, int] = {}
+            ids_out, fps_out = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _toks(text)
+                n_sh = len(toks) - n + 1
+                if n_sh < w:
+                    continue
+                hs = np.empty(n_sh, dtype=np.int64)
+                for i in range(n_sh):
+                    sh = " ".join(toks[i : i + n])
+                    h = memo.get(sh)
+                    if h is None:
+                        h = int(
+                            hashlib.md5(sh.encode("utf-8")).hexdigest()[:15], 16
+                        )
+                        memo[sh] = h
+                    hs[i] = h
+                uniq = np.unique(sliding_window_view(hs, w).min(axis=1))
+                ids_out.append(np.full(len(uniq), doc_id, dtype="int64"))
+                fps_out.append(uniq)
+            if not ids_out:
+                yield pd.DataFrame(
+                    {
+                        "id": pd.Series([], dtype="int64"),
+                        "fp": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            yield pd.DataFrame(
+                {"id": np.concatenate(ids_out), "fp": np.concatenate(fps_out)}
+            )
+
+    return _kernel_input(docs, id_col, text_col).mapInPandas(gen, _WINNOW_SCHEMA)
+
+
 def shingle_hashes_ckpt(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -225,6 +225,67 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_W = 4  # fingerprint window: W consecutive 3-gram hashes
+
+
+@query(
+    "q_winnowing_fp",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok,
+             generate_subscripts({_SQL_TOKS}, 1) AS i
+      FROM documents
+    ), shingles AS (
+      SELECT t1.doc_id, t1.i,
+             t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+      FROM toks t1
+      JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+      JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+    ), hashed AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h
+      FROM shingles
+    ), windows AS (
+      SELECT doc_id,
+             MIN(h) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING
+             ) AS fp,
+             COUNT(*) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING
+             ) AS wn
+      FROM hashed
+    )
+    SELECT DISTINCT doc_id, fp FROM windows WHERE wn = {_WINNOW_W}
+    """,
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "
+    "the MOSS algorithm): hash every 3-gram (60-bit md5 prefix — "
+    f"cross-engine exact), slide a {_WINNOW_W}-hash window, keep each "
+    "window's minimum, emit the distinct selected hashes per doc. The "
+    "guarantee dedup pipelines rely on: any shared run of >= "
+    f"3+{_WINNOW_W}-1 tokens between two docs yields at least one "
+    "IDENTICAL fingerprint, at ~1/W the density of full shingle sets. "
+    "Shape: the whole selection is per-document, so it runs as ONE "
+    "narrow Arrow kernel pass (functions/text_kernels.winnow_fp_pd — "
+    "md5 per unique shingle, stride-tricks rolling min, np.unique), "
+    "ZERO shuffle: output rows (doc_id, fp) come straight off the "
+    "scan. The JVM explode + per-doc window formulation it replaced "
+    "paid a full shuffle + partition sort for what is map-local work. "
+    "Docs too short for a full window emit nothing on either engine.",
+    tags=("text", "fingerprint", "winnowing"),
+)
+def q_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        winnow_fp_pd,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fp_pd(docs, n=3, w=_WINNOW_W).select(
+        F.col("id").alias("doc_id"), "fp"
+    )
+
+
 @query(
     "q_repetition_ratio",
     f"""

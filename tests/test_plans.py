@@ -98,6 +98,7 @@ def test_python_confined_to_designated_operators(spark, qs):
         "q_dedup_near",
         "q_dedup_clusters",
         "q_contamination",
+        "q_winnowing_fp",
     }
     for name, spec in qs.items():
         if name.startswith("q_stream"):
