@@ -592,22 +592,93 @@ def doc_term_tf_ckpt(
     return _cached_ckpt(docs, tf, ("doc_term_tf", id_col, text_col))
 
 
+_BIGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("bigram", T.StringType()),
+        T.StructField("w1", T.StringType()),
+        T.StructField("n_bigram", T.LongType()),
+    ]
+)
+
+
+def bigram_partial_counts_pd(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-batch PARTIAL bigram counts in one Arrow pass:
+    (bigram, w1, n_bigram) — a hand-rolled map-side combine.
+
+    Replaces the explode(word_shingles(...)) formulation: the JVM HOF
+    chain is evaluated interpreted per element (the same slow path the
+    shingle kernels left), and the exploded form shuffles one row per
+    bigram OCCURRENCE. Natural-language bigrams are massively repeated
+    (testdata corpus: 265k occurrences, 931 distinct), so counting
+    inside the batch with pandas' C value_counts emits ~vocabulary-
+    sized partials per batch — the shuffle carries counts, not
+    occurrences. Callers re-aggregate with a final groupBy sum.
+
+    Vectorized: one flat token array per batch; bigram strings built by
+    a single C-loop concat of the array against its shift; document
+    boundaries masked out positionally (no per-doc Python loop)."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "bigram": pd.Series([], dtype="object"),
+                "w1": pd.Series([], dtype="object"),
+                "n_bigram": pd.Series([], dtype="int64"),
+            }
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tok_lists = [_toks(t) for t in pdf[text_col]]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            flat = np.array(
+                [w for toks in tok_lists for w in toks], dtype=object
+            )
+            if len(flat) < 2:
+                yield empty
+                continue
+            # Positions where a bigram would span two documents: the
+            # last token of each doc (cumulative end offsets - 1).
+            ends = np.cumsum(lens)
+            w1 = pd.Series(flat[:-1])
+            pairs = w1 + " " + pd.Series(flat[1:])
+            valid = np.ones(len(flat) - 1, dtype=bool)
+            boundary = ends[:-1][ends[:-1] < len(flat)] - 1
+            valid[boundary[boundary >= 0]] = False
+            counts = pairs[valid].value_counts()
+            bigrams = counts.index.to_numpy(dtype=object)
+            yield pd.DataFrame(
+                {
+                    "bigram": bigrams,
+                    "w1": pd.Series(bigrams).str.split(" ", n=1).str[0],
+                    "n_bigram": counts.to_numpy(dtype="int64"),
+                }
+            )
+
+    return _kernel_input(docs, id_col, text_col).mapInPandas(
+        gen, _BIGRAM_SCHEMA
+    )
+
+
 def bigram_counts_ckpt(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Session-cached corpus bigram occurrence counts
     (bigram, w1, n_bigram) — the corpus-sized aggregation behind
-    q_ngram_lm_bigrams; prefix rollups and top-k re-aggregate this."""
-    from open_rust_timeseries_db_spark.functions.text import (
-        tokens,
-        word_shingles,
+    q_ngram_lm_bigrams; prefix rollups and top-k re-aggregate this.
+    Built from the Arrow partial-count kernel + one vocabulary-sized
+    final sum (see bigram_partial_counts_pd)."""
+    partials = bigram_partial_counts_pd(docs, id_col, text_col)
+    bc = partials.groupBy("bigram", "w1").agg(
+        F.sum("n_bigram").alias("n_bigram")
     )
-
-    toked = spread_scan(docs).select(id_col, tokens(text_col).alias("_toks"))
-    big = toked.select(
-        F.explode(word_shingles(F.col("_toks"), 2)).alias("bigram")
-    ).select(F.substring_index("bigram", " ", 1).alias("w1"), "bigram")
-    bc = big.groupBy("bigram", "w1").agg(F.count(F.lit(1)).alias("n_bigram"))
     return _cached_ckpt(docs, bc, ("bigram_counts", id_col, text_col))
 
 

@@ -33,6 +33,30 @@ _NORMS_CTE = f"""
 """
 
 
+def _ann_matrices(emb: DataFrame) -> tuple[list, list]:
+    """(centroid_rows, query_rows) — BOTH driver-side matrices from ONE
+    session-memoized collect job.
+
+    Centroids (vec_id % 100 == 0) and queries (vec_id < 10) are each a
+    pushed-down filter over the same parquet; collecting them
+    separately cost the cold path two scan jobs where one suffices.
+    The union scan is collected once per session (corpus-pure) and
+    split driver-side; all three similarity queries share the memo."""
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        cached_collect,
+    )
+
+    rows = cached_collect(
+        emb,
+        "ann_matrices",
+        emb.filter((F.col("vec_id") % 100 == 0) | (F.col("vec_id") < 10))
+        .select("vec_id", "embedding"),
+    )
+    cent_rows = [(r[0], r[1]) for r in rows if r[0] % 100 == 0]
+    q_rows = [(r[0], r[1]) for r in rows if r[0] < 10]
+    return cent_rows, q_rows
+
+
 @query(
     "q_cosine_topk",
     f"""
@@ -64,20 +88,13 @@ _NORMS_CTE = f"""
     tags=("similarity", "topk"),
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from open_rust_timeseries_db_spark.functions.text_kernels import (
-        cached_collect,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
     # Distributed top-k: each task emits only its LOCAL top-5 per query
     # (O(tasks*Q*k) survivors instead of O(N*Q) scored pairs); the
     # global window ranks the tiny survivor set. The query matrix rides
-    # in the task closure — no crossJoin — and is collected once per
-    # session (corpus-pure).
-    queries_df = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    q_rows = cached_collect(emb, "ann_queries", queries_df)
+    # in the task closure — no crossJoin — and comes from the fused
+    # once-per-session driver collect shared with the ANN queries.
+    _, q_rows = _ann_matrices(emb)
     local = local_topk_cosine(emb, q_rows, k=5)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
@@ -126,19 +143,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann"),
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from open_rust_timeseries_db_spark.functions.text_kernels import (
-        cached_collect,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
     # One narrow mapInPandas pass with the (tiny) centroid matrix in the
     # task closure — no crossJoin row explosion, no per-vector window;
     # the only shuffle is the final per-cell aggregation. The centroid
     # matrix (corpus-pure) is collected once per session.
-    cent_rows = cached_collect(emb, "ivf_centroids", centroids)
+    cent_rows, _ = _ann_matrices(emb)
     assigned = ivf_assign(emb, cent_rows)
     return assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -226,25 +236,14 @@ _ASSIGN_CTE = f"""
     tags=("similarity", "ann"),
 )
 def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from open_rust_timeseries_db_spark.functions.text_kernels import (
-        cached_collect,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
-    )
-    queries_df = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
     # Fused single-pass IVF search (functions/vectors.ivf_probe_search):
     # centroid + query matrices collected ONCE PER SESSION on the
-    # driver (corpus-pure), probe cells ranked there (tiny, exact),
-    # then ONE narrow corpus pass assigns + filters + scores + emits
-    # local top-k per query. The global window ranks the
-    # O(tasks * Q * k) survivor set.
-    cent_rows = cached_collect(emb, "ivf_centroids", centroids)
-    q_rows = cached_collect(emb, "ann_queries", queries_df)
+    # driver (one fused job, see _ann_matrices), probe cells ranked
+    # there (tiny, exact), then ONE narrow corpus pass assigns +
+    # filters + scores + emits local top-k per query. The global window
+    # ranks the O(tasks * Q * k) survivor set.
+    cent_rows, q_rows = _ann_matrices(emb)
     local = ivf_probe_search(emb, cent_rows, q_rows, nprobe=_NPROBE, k=_ANN_K)
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "neighbor_id"

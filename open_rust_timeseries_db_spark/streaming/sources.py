@@ -61,6 +61,11 @@ def market_data_stream(
     )
 
 
+# Memoized ts-encoding peeks for events_file_stream, keyed by
+# (applicationId, sf_dir): testdata files are immutable per session.
+_FILE_TS_CACHE: dict[tuple[str, str], T.DataType] = {}
+
+
 def events_file_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -82,11 +87,18 @@ def events_file_stream(
     # batch reader infers it; a stream reader cannot). Peek at the file
     # with a one-off batch read, then normalize to the engine schema
     # (ts = epoch-nanos long) exactly like sources/catalog.load_table.
-    file_ts = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .schema["ts"]
-        .dataType
-    )
+    # The peek is a driver footer read — memoized per (app, path)
+    # because the file is immutable for the session and every stream
+    # query pays it otherwise (6 oracle queries x 2 bench passes).
+    peek_key = (spark.sparkContext.applicationId, sf_dir)
+    file_ts = _FILE_TS_CACHE.get(peek_key)
+    if file_ts is None:
+        file_ts = (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .schema["ts"]
+            .dataType
+        )
+        _FILE_TS_CACHE[peek_key] = file_ts
     read_schema = T.StructType(
         [
             T.StructField(f.name, file_ts if f.name == "ts" else f.dataType)

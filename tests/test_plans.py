@@ -99,6 +99,11 @@ def test_python_confined_to_designated_operators(spark, qs):
         "q_dedup_clusters",
         "q_contamination",
         "q_winnowing_fp",
+        # bigram LM counts moved to the Arrow partial-count kernel
+        # (bigram_partial_counts_pd): the JVM HOF chain shuffled one
+        # row per bigram occurrence; the kernel ships per-batch
+        # vocabulary-sized partials instead.
+        "q_ngram_lm_bigrams",
     }
     for name, spec in qs.items():
         if name.startswith("q_stream"):
