@@ -526,6 +526,103 @@ def winnow_fp_pd(
     return _kernel_input(docs, id_col, text_col).mapInPandas(gen, _WINNOW_SCHEMA)
 
 
+_DOC_BIGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("bigram", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def doc_bigram_counts_pd(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document bigram occurrence counts in one Arrow pass:
+    (id, bigram, n) — the per-doc twin of bigram_partial_counts_pd,
+    feeding per-document LM scoring (q_lm_score).
+
+    Same vectorization: one flat token array per batch, bigram strings
+    from a single C-loop concat against the shifted array, document
+    boundaries masked positionally; the (doc, bigram) histogram comes
+    from one pandas C groupby — no per-doc Python loop. Output is
+    per-doc-DISTINCT sized (repetition collapses in the batch), and the
+    rows are exact (doc-keyed), so no further aggregation is needed."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id": pd.Series([], dtype="int64"),
+                "bigram": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tok_lists = [_toks(t) for t in pdf[text_col]]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            flat = np.array(
+                [w for toks in tok_lists for w in toks], dtype=object
+            )
+            if len(flat) < 2:
+                yield empty
+                continue
+            doc_of = np.repeat(
+                pdf[id_col].to_numpy(dtype=np.int64), lens
+            )[:-1]
+            pairs = pd.Series(flat[:-1]) + " " + pd.Series(flat[1:])
+            valid = np.ones(len(flat) - 1, dtype=bool)
+            ends = np.cumsum(lens)
+            boundary = ends[:-1][ends[:-1] < len(flat)] - 1
+            valid[boundary[boundary >= 0]] = False
+            hist = (
+                pd.DataFrame({"id": doc_of[valid], "bigram": pairs[valid].to_numpy()})
+                .groupby(["id", "bigram"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            yield hist.astype({"id": "int64", "n": "int64"})
+
+    return _kernel_input(docs, id_col, text_col).mapInPandas(
+        gen, _DOC_BIGRAM_SCHEMA
+    )
+
+
+def doc_bigram_counts_ckpt(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Session-cached per-document bigram counts (see
+    doc_bigram_counts_pd)."""
+    return _cached_ckpt(
+        docs,
+        doc_bigram_counts_pd(docs, id_col, text_col),
+        ("doc_bigram", id_col, text_col),
+    )
+
+
+def winnow_fp_ckpt(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Materialized winnowing fingerprint table — shared by the
+    fingerprint report (q_winnowing_fp) and the MOSS match stage
+    (q_winnow_neardup)."""
+    return _cached_ckpt(
+        docs,
+        winnow_fp_pd(docs, id_col, text_col, n, w),
+        ("winnow", id_col, text_col, n, w),
+    )
+
+
 def shingle_hashes_ckpt(
     docs: DataFrame,
     id_col: str = "doc_id",

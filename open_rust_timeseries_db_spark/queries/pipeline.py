@@ -611,3 +611,147 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+@query(
+    "q_token_diversity",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(COUNT(*) AS DOUBLE) / CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE)
+             AS ttr,
+           1.0 - CAST(CAST(SUM(tf * tf) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(SUM(tf) AS BIGINT) * CAST(SUM(tf) AS BIGINT)
+                          AS DOUBLE) AS simpson
+    FROM tf GROUP BY doc_id
+    """,
+    doc="Per-document lexical diversity: type-token ratio and the "
+    "Gini-Simpson index 1 - sum(tf^2)/dl^2 — the log-free diversity "
+    "signal (same rationale as the rational idf: Shannon entropy's "
+    "ln() is libm-dependent across engines) a curation pass uses to "
+    "drop keyword-stuffed or degenerate-repetition docs. All "
+    "arithmetic is INTEGER until exactly one divide per output column. "
+    "Shape: a pure rollup of the session-cached (doc, term, tf) table "
+    "— zero extra corpus scans; the cache the scoring family "
+    "(TF-IDF/BM25) already materialized feeds this for one tiny "
+    "hash-agg. Docs with no tokens have no tf rows and are absent on "
+    "both engines.",
+    tags=("pipeline", "quality", "scoring"),
+)
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        doc_term_tf_ckpt,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = doc_term_tf_ckpt(docs)
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("tf") * F.col("tf")).alias("s2"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.col("n_types").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("ttr"),
+        (
+            F.lit(1.0)
+            - F.col("s2").cast("double")
+            / (F.col("n_tokens") * F.col("n_tokens")).cast("double")
+        ).alias("simpson"),
+    )
+
+
+@query(
+    "q_lm_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok,
+             generate_subscripts({_SQL_TOKS}, 1) AS i
+      FROM documents
+    ), bigr AS (
+      SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS bigram
+      FROM toks t1
+      JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+    ), db AS (
+      SELECT doc_id, bigram, COUNT(*) AS n FROM bigr GROUP BY 1, 2
+    ), bc AS (
+      SELECT bigram, COUNT(*) AS n_bigram FROM bigr GROUP BY 1
+    ), pc AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, SUM(n_bigram) AS n_prefix
+      FROM bc GROUP BY 1
+    ), lm AS (
+      SELECT bc.bigram,
+             CAST(FLOOR(CAST(bc.n_bigram AS DOUBLE)
+                        / CAST(pc.n_prefix AS DOUBLE) * 1e12) AS BIGINT)
+               AS p_fx
+      FROM bc JOIN pc ON pc.w1 = split_part(bc.bigram, ' ', 1)
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.n) AS BIGINT) AS n_bigrams,
+           COUNT(*) AS n_distinct,
+           CAST(CAST(SUM(d.n * lm.p_fx) AS BIGINT) AS DOUBLE) / 1e12
+             / CAST(CAST(SUM(d.n) AS BIGINT) AS DOUBLE) AS mean_p
+    FROM db d JOIN lm ON lm.bigram = d.bigram
+    GROUP BY d.doc_id
+    """,
+    doc="Per-document LM plausibility under the corpus bigram model: "
+    "the mean MLE conditional probability p(w2|w1) over the doc's "
+    "bigram occurrences — the log-free stand-in for perplexity (same "
+    "libm rationale as the rational idf; ranking is monotone in the "
+    "same direction for a mean-probability scorer), the fluency signal "
+    "used to down-weight garbled docs. Determinism: each cond_p is ONE "
+    "divide of two integers, immediately fixed-pointed "
+    "(floor(p*1e12) BIGINT), so the per-doc accumulation is exact "
+    "integer arithmetic; one divide chain at the end. Shape: per-doc "
+    "bigram counts from the Arrow kernel (session-cached, "
+    "per-doc-distinct sized) joined to the BROADCAST vocabulary-sized "
+    "LM (cached corpus bigram counts + prefix totals), one per-doc "
+    "hash-agg. At 100 TB the LM side stays vocabulary-bounded; the "
+    "doc side is one narrow pass.",
+    tags=("pipeline", "lm", "scoring"),
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        bigram_counts_ckpt,
+        bigram_prefix_ckpt,
+        doc_bigram_counts_ckpt,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    db = doc_bigram_counts_ckpt(docs)
+    bc = bigram_counts_ckpt(docs)
+    pc = bigram_prefix_ckpt(docs)
+    lm = bc.join(F.broadcast(pc), "w1").select(
+        "bigram",
+        F.floor(
+            F.col("n_bigram").cast("double")
+            / F.col("n_prefix").cast("double")
+            * F.lit(1e12)
+        )
+        .cast("bigint")
+        .alias("p_fx"),
+    )
+    scored = db.join(F.broadcast(lm), "bigram").groupBy("id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("n") * F.col("p_fx")).alias("sum_fx"),
+    )
+    return scored.select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        "n_distinct",
+        (
+            F.col("sum_fx").cast("double")
+            / F.lit(1e12)
+            / F.col("n_bigrams").cast("double")
+        ).alias("mean_p"),
+    )

@@ -257,3 +257,64 @@ def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= _ANN_K)
     )
+
+
+@query(
+    "q_kmeans_update",
+    f"""
+    WITH {_NORMS_CTE}, {_ASSIGN_CTE}
+    SELECT m.centroid_id,
+           e.i,
+           COUNT(*) AS n_members,
+           CAST(SUM(CAST(FLOOR(CAST(e.e AS DOUBLE) * 1e12) AS BIGINT))
+                AS BIGINT) AS sum_fx,
+           CAST(CAST(SUM(CAST(FLOOR(CAST(e.e AS DOUBLE) * 1e12) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 1e12 / CAST(COUNT(*) AS DOUBLE)
+             AS mean_e
+    FROM members m
+    JOIN elems e ON e.vec_id = m.vec_id
+    GROUP BY 1, 2
+    """,
+    doc="k-means Lloyd UPDATE step on the IVF assignment: per "
+    "(centroid, dimension) the member count, exact fixed-point "
+    "coordinate sum, and the recomputed mean coordinate — the iteration "
+    "body of semantic-dedup clustering (assign is q_ann_ivf's kernel; "
+    "iterate = feed these means back as the next centroid matrix). "
+    "Determinism: coordinates accumulate as floor(e*1e12) BIGINTs "
+    "(associative — partition-order-proof), one divide chain per "
+    "output. Shape: the assignment kernel's narrow pass -> posexplode "
+    "to (member, dim) -> ONE hash-agg keyed (centroid, dim): K*d "
+    "output rows, map-side-combined; nothing here is driver-bound at "
+    "scale except the K x d result itself.",
+    tags=("similarity", "kmeans", "clustering"),
+)
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows, _ = _ann_matrices(emb)
+    assigned = ivf_assign(emb, cent_rows).select("vec_id", "centroid_id")
+    members = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    coords = members.select(
+        "centroid_id",
+        F.posexplode("embedding").alias("pos", "e"),
+    ).select(
+        "centroid_id",
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+        F.floor(F.col("e").cast("double") * F.lit(1e12))
+        .cast("bigint")
+        .alias("e_fx"),
+    )
+    agg = coords.groupBy("centroid_id", "i").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("e_fx").alias("sum_fx"),
+    )
+    return agg.select(
+        "centroid_id",
+        "i",
+        "n_members",
+        "sum_fx",
+        (
+            F.col("sum_fx").cast("double")
+            / F.lit(1e12)
+            / F.col("n_members").cast("double")
+        ).alias("mean_e"),
+    )

@@ -227,11 +227,18 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_W = 4  # fingerprint window: W consecutive 3-gram hashes
 
+# Common-fp drop for the MOSS match stage: fingerprints present in more
+# than this many documents are boilerplate ("stopword" fps in the MOSS
+# paper) and would quadratically expand the pair candidate set at
+# scale; dropping them is part of the algorithm, applied identically in
+# both engines. No-op on the testdata (max observed doc-frequency: 24).
+_WINNOW_MAX_DF = 256
 
-@query(
-    "q_winnowing_fp",
-    f"""
-    WITH toks AS (
+# Shared winnowing-selection CTE chain: yields fps(doc_id, fp) — the
+# distinct selected fingerprints per document. Used by q_winnowing_fp
+# and q_winnow_neardup's oracles.
+_WINNOW_FPS_CTE = f"""
+    toks AS (
       SELECT doc_id, unnest({_SQL_TOKS}) AS tok,
              generate_subscripts({_SQL_TOKS}, 1) AS i
       FROM documents
@@ -256,8 +263,17 @@ _WINNOW_W = 4  # fingerprint window: W consecutive 3-gram hashes
                ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING
              ) AS wn
       FROM hashed
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM windows WHERE wn = {_WINNOW_W}
     )
-    SELECT DISTINCT doc_id, fp FROM windows WHERE wn = {_WINNOW_W}
+"""
+
+
+@query(
+    "q_winnowing_fp",
+    f"""
+    WITH {_WINNOW_FPS_CTE}
+    SELECT doc_id, fp FROM fps
     """,
     doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "
     "the MOSS algorithm): hash every 3-gram (60-bit md5 prefix — "
@@ -277,12 +293,93 @@ _WINNOW_W = 4  # fingerprint window: W consecutive 3-gram hashes
 )
 def q_winnowing_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_rust_timeseries_db_spark.functions.text_kernels import (
-        winnow_fp_pd,
+        winnow_fp_ckpt,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return winnow_fp_pd(docs, n=3, w=_WINNOW_W).select(
+    return winnow_fp_ckpt(docs, n=3, w=_WINNOW_W).select(
         F.col("id").alias("doc_id"), "fp"
+    )
+
+
+@query(
+    "q_winnow_neardup",
+    f"""
+    WITH {_WINNOW_FPS_CTE}, usable AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING COUNT(*) BETWEEN 2 AND {_WINNOW_MAX_DF}
+    ), pairs AS (
+      SELECT f1.doc_id AS a, f2.doc_id AS b, COUNT(*) AS n_common
+      FROM fps f1
+      JOIN fps f2 ON f2.fp = f1.fp AND f1.doc_id < f2.doc_id
+      SEMI JOIN usable u ON u.fp = f1.fp
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id
+    )
+    SELECT p.a, p.b, p.n_common,
+           CAST(p.n_common AS DOUBLE)
+             / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.a
+    JOIN sizes sb ON sb.doc_id = p.b
+    """,
+    doc="MOSS match stage over the winnowing fingerprints: document "
+    "pairs sharing >= 3 selected fingerprints, scored by containment "
+    "(shared / smaller fingerprint set) — the plagiarism/near-dup "
+    "report the winnowing index exists to serve. Shape: the "
+    "session-cached fingerprint table (shared with q_winnowing_fp) "
+    "grouped by fp with boilerplate fps dropped at df > "
+    f"{_WINNOW_MAX_DF} (the MOSS 'stopword' rule — the quadratic-"
+    "expansion guard at scale, applied identically in the oracle), "
+    "inline pair expansion inside each fp group (never a fp-table "
+    "self-join at scale: candidate volume is sum of group-size^2, "
+    "bounded by the df cap), one pair hash-agg, then a broadcast-"
+    "sized join against per-doc fingerprint counts.",
+    tags=("text", "dedup", "winnowing"),
+)
+def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        winnow_fp_ckpt,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fp_ckpt(docs, n=3, w=_WINNOW_W)
+    groups = (
+        fps.groupBy("fp")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= _WINNOW_MAX_DF)
+        )
+    )
+    pairs = (
+        groups.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+    )
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    return (
+        pairs.join(
+            sizes.select(F.col("id").alias("a"), F.col("n_fp").alias("n_fp_a")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("b"), F.col("n_fp").alias("n_fp_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / F.least("n_fp_a", "n_fp_b").cast("double")
+            ).alias("containment"),
+        )
     )
 
 

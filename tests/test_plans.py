@@ -104,6 +104,12 @@ def test_python_confined_to_designated_operators(spark, qs):
         # row per bigram occurrence; the kernel ships per-batch
         # vocabulary-sized partials instead.
         "q_ngram_lm_bigrams",
+        # per-doc bigram kernel + broadcast LM join:
+        "q_lm_score",
+        # winnowing fingerprint kernel consumers:
+        "q_winnow_neardup",
+        # IVF assignment kernel feeding the Lloyd update hash-agg:
+        "q_kmeans_update",
     }
     for name, spec in qs.items():
         if name.startswith("q_stream"):
