@@ -9,11 +9,13 @@ is that model made first-class for image/audio/video payloads at 100 TB:
 - decode / feature-extraction runs as Arrow-batched ``mapInPandas``
   (one Python process per partition, columnar transfer — never
   row-at-a-time UDFs);
-- real codecs (PIL/opencv/ffmpeg) are NOT in this container, so the
-  decode step is stubbed: :func:`decode_image` raises
-  ``NotImplementedError`` by design, while :func:`frame_features`
-  demonstrates the identical plumbing with a deterministic
-  hash-per-frame "decoder" that an oracle can verify.
+- :func:`decode_image` is a REAL decoder for the one raster format the
+  standard library can carry without codec packages: PNG (zlib inflate
+  + per-spec unfiltering in numpy). PIL/opencv/ffmpeg are not in this
+  container, so formats that need them (JPEG/video) raise ValueError
+  with a clear message; :func:`frame_features` demonstrates the
+  identical plumbing with a deterministic hash-per-frame "decoder"
+  that a SQL oracle can verify.
 
 Scale notes: ``mapInPandas`` preserves partitioning (no shuffle); frame
 explosion multiplies rows ~n_frames×, so callers should size
@@ -24,6 +26,8 @@ fit executor memory. Feature extraction is embarrassingly parallel.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -31,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 if TYPE_CHECKING:  # pragma: no cover
+    import numpy as np
     import pandas as pd
 
 FRAME_SCHEMA = T.StructType(
@@ -42,19 +47,188 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth, non-interlaced support)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
-def decode_image(payload: bytes) -> "object":
-    """STUB — image decoding needs PIL/opencv, not present here.
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
 
-    The Spark-side plumbing (binary column in, ``mapInPandas`` over
-    Arrow batches, struct-typed features out) is what this module
-    tests; swap this function for a real decoder on a cluster that
-    has the codec libraries installed.
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode an 8-bit non-interlaced PNG to (H, W, C) uint8.
+
+    A real decoder, not a stub: stdlib ``zlib`` inflates the IDAT
+    stream and the five PNG scanline filters (None/Sub/Up/Average/
+    Paeth, PNG spec §9) are reversed exactly. Supports color types
+    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at bit depth 8 —
+    what an encoder without a palette writes. Anything else (palette,
+    16-bit, interlaced, or a non-PNG container like JPEG) raises
+    ``ValueError`` with the reason; the caller's feature extractor
+    surfaces those rows as ok=false instead of failing the job.
+
+    Unfiltering is sequential by definition (each scanline references
+    the previous), row-vectorized in numpy: Up is one vector add; Sub/
+    Average/Paeth walk pixels within the row. Throughput is plenty for
+    feature extraction; a cluster with codec wheels can swap this out
+    without touching the Arrow plumbing in :func:`image_features`.
     """
-    raise NotImplementedError(
-        "image decode requires PIL/opencv (not in this container); "
-        "use frame_features() for the plumbing-equivalent path"
+    import numpy as np
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = None
+    channels = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or channels is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    raw = raw.reshape(height, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        f = filters[y]
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(height, width, channels)
+
+
+def encode_png(img: "np.ndarray") -> bytes:
+    """Encode (H, W, C) uint8 (C in 1/2/3/4) as a minimal PNG
+    (filter 0 scanlines, one zlib IDAT). The deterministic test/fixture
+    twin of :func:`decode_image`."""
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    scan = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan, 6))
+        + chunk(b"IEND", b"")
     )
+
+
+def image_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-image features from a PNG ``BinaryType`` column via Arrow
+    ``mapInPandas``: (doc_id, width, height, channels, pixel_sum, ok).
+
+    ``pixel_sum`` (exact integer sum of all samples) stands in for the
+    mean/embedding a real pipeline computes — integer so results are
+    engine- and partition-order-exact. Undecodable payloads yield
+    ok=false with null dims instead of failing the task: at 100 TB
+    corrupt rows are data, not exceptions."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "channels", "pixel_sum", "ok")}
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                out["doc_id"].append(doc_id)
+                try:
+                    img = decode_image(bytes(payload) if payload else b"")
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["channels"].append(img.shape[2])
+                    out["pixel_sum"].append(int(img.sum(dtype=np.int64)))
+                    out["ok"].append(True)
+                except (ValueError, zlib.error):
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["channels"].append(None)
+                    out["pixel_sum"].append(None)
+                    out["ok"].append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="Int64"),
+                    "height": pd.Series(out["height"], dtype="Int64"),
+                    "channels": pd.Series(out["channels"], dtype="Int64"),
+                    "pixel_sum": pd.Series(out["pixel_sum"], dtype="Int64"),
+                    "ok": pd.Series(out["ok"], dtype="bool"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, IMAGE_SCHEMA)
 
 
 def frame_features(

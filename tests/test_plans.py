@@ -110,6 +110,8 @@ def test_python_confined_to_designated_operators(spark, qs):
         "q_winnow_neardup",
         # IVF assignment kernel feeding the Lloyd update hash-agg:
         "q_kmeans_update",
+        # real PNG encode->decode roundtrip inside the Arrow pass:
+        "q_image_decode",
     }
     for name, spec in qs.items():
         if name.startswith("q_stream"):
