@@ -274,3 +274,75 @@ def frame_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(extract, FRAME_SCHEMA)
+
+
+def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Decode a RIFF/WAVE PCM payload to (samples, sample_rate).
+
+    Real decoder for the audio format that needs no codec package:
+    canonical WAV with integer PCM (8-bit unsigned or 16-bit signed
+    little-endian), any channel count — returned as an (n_frames,
+    n_channels) int32 array. Compressed formats (MP3/AAC/float WAV)
+    raise ``ValueError``; like :func:`decode_image`, callers surface
+    those rows as ok=false data instead of failing the task.
+    """
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if ctype == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif ctype == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV format code {audio_format} (PCM only)")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    elif bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    n_frames = len(samples) // n_channels
+    return samples[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate
+
+
+def encode_wav(
+    samples: "np.ndarray", sample_rate: int = 16_000, bits: int = 16
+) -> bytes:
+    """Encode an (n_frames, n_channels) integer array as canonical
+    PCM WAV — the deterministic test/fixture twin of
+    :func:`decode_audio`."""
+    import numpy as np
+
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_frames, n_channels = samples.shape
+    if bits == 16:
+        raw = samples.astype("<i2").tobytes()
+    elif bits == 8:
+        raw = (samples + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    byte_rate = sample_rate * n_channels * (bits // 8)
+    block_align = n_channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -110,8 +110,9 @@ def test_python_confined_to_designated_operators(spark, qs):
         "q_winnow_neardup",
         # IVF assignment kernel feeding the Lloyd update hash-agg:
         "q_kmeans_update",
-        # real PNG encode->decode roundtrip inside the Arrow pass:
+        # real PNG / WAV encode->decode roundtrips inside Arrow passes:
         "q_image_decode",
+        "q_audio_decode",
     }
     for name, spec in qs.items():
         if name.startswith("q_stream"):

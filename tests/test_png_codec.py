@@ -116,3 +116,37 @@ def test_image_features_operator(spark):
     assert out[1]["channels"] == 3
     assert not out[2]["ok"] and out[2]["pixel_sum"] is None
     assert out[3]["ok"] and out[3]["channels"] == 1
+
+
+def test_wav_roundtrip_16bit_stereo():
+    from open_rust_timeseries_db_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(11)
+    wave = rng.randint(-32768, 32768, size=(100, 2)).astype(np.int16)
+    out, rate = decode_audio(encode_wav(wave, sample_rate=44_100))
+    assert rate == 44_100 and out.shape == (100, 2)
+    assert np.array_equal(out, wave.astype(np.int32))
+
+
+def test_wav_8bit_and_rejection():
+    from open_rust_timeseries_db_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    wave = np.arange(-128, 128, dtype=np.int64).reshape(-1, 1)
+    out, rate = decode_audio(encode_wav(wave, sample_rate=8000, bits=8))
+    assert np.array_equal(out.ravel(), wave.ravel())
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_audio(b"ID3 not a wav file")
+    # float WAV (format code 3) rejected
+    import struct as _s
+
+    fmt = _s.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", 0))
+    with pytest.raises(ValueError, match="format code"):
+        decode_audio(b"RIFF" + _s.pack("<I", len(body)) + body)
