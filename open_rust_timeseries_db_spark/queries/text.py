@@ -18,7 +18,6 @@ from open_rust_timeseries_db_spark.functions.text import (
     fingerprint,
     marker_hits,
     tokens,
-    word_shingles,
 )
 from open_rust_timeseries_db_spark.queries.registry import query
 from open_rust_timeseries_db_spark.sources.catalog import load_table
@@ -407,27 +406,31 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Intra-document repetition ratio: 1 - distinct/total bigram "
     "occurrences per doc — the degenerate-text filter (boilerplate, "
     "keyword stuffing, looping generations) every LLM curation "
-    "pipeline runs before training. Pure NARROW map: per-row shingle "
-    "array + array_distinct, zero shuffle, whole-stage codegen — the "
-    "ideal 100 TB shape (scales with scan bandwidth alone). Integer "
-    "counts -> one exact IEEE divide; docs with < 2 tokens produce no "
-    "row on either engine.",
+    "pipeline runs before training. Shape: a rollup of the "
+    "session-cached per-doc Arrow bigram table (shared with "
+    "q_lm_score) — n_bigrams = sum(n), n_distinct = row count per doc, "
+    "one skinny count-carrying shuffle. (The earlier zero-shuffle "
+    "word_shingles/array_distinct formulation was pure narrow map but "
+    "paid the interpreted JVM HOF chain per element — measured 2.5x "
+    "the oracle; the kernel rollup halves that AND shares its "
+    "materialization with every bigram consumer.) Integer counts -> "
+    "one exact IEEE divide; docs with < 2 tokens produce no row on "
+    "either engine.",
     tags=("text", "quality", "repetition"),
 )
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # Materialize the token array first so word_shingles' slices see an
-    # attribute reference, not a re-evaluated split (see functions/text).
-    toked = docs.select("doc_id", tokens("text").alias("_toks")).select(
-        "doc_id", word_shingles(F.col("_toks"), 2).alias("bigs")
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        doc_bigram_counts_ckpt,
     )
-    per = toked.filter(F.size("bigs") > 0).select(
-        "doc_id",
-        F.size("bigs").cast("bigint").alias("n_bigrams"),
-        F.size(F.array_distinct("bigs")).cast("bigint").alias("n_distinct"),
+
+    docs = load_table(spark, sf_dir, "documents")
+    db = doc_bigram_counts_ckpt(docs)
+    per = db.groupBy("id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
     )
     return per.select(
-        "doc_id",
+        F.col("id").alias("doc_id"),
         "n_bigrams",
         "n_distinct",
         (

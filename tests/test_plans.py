@@ -104,8 +104,9 @@ def test_python_confined_to_designated_operators(spark, qs):
         # row per bigram occurrence; the kernel ships per-batch
         # vocabulary-sized partials instead.
         "q_ngram_lm_bigrams",
-        # per-doc bigram kernel + broadcast LM join:
+        # per-doc bigram kernel consumers:
         "q_lm_score",
+        "q_repetition_ratio",
         # winnowing fingerprint kernel consumers:
         "q_winnow_neardup",
         # IVF assignment kernel feeding the Lloyd update hash-agg:
