@@ -461,3 +461,67 @@ def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_match.alias("n_match"),
         (n_match.cast("double") / _MH_PERMS).alias("est_jaccard"),
     )
+
+
+@query(
+    "q_dedup_apply",
+    f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             length({_SQL_TOKS}) AS n_toks
+      FROM documents
+    ), k AS (
+      SELECT source, n_toks,
+             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+                  THEN 1 ELSE 0 END AS kept
+      FROM f
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(1 - kept) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN kept = 0 THEN n_toks ELSE 0 END) AS BIGINT)
+             AS tokens_dropped
+    FROM k GROUP BY source
+    """,
+    doc="APPLY the exact-dedup decision (the operator a pipeline runs "
+    "after detection): canonical survivor per fingerprint group = "
+    "lowest doc_id (deterministic, rendezvous-stable — re-running on a "
+    "grown corpus never un-keeps a survivor), others marked dropped; "
+    "reports the per-source keep/drop census and the token budget "
+    "reclaimed. Shape: one fingerprint window (hash-partition by fp) "
+    "+ one per-source hash-agg — both single-shuffle, no joins. At "
+    "100 TB the window is the standard dedup-materialization pass; "
+    "the census is its free by-product.",
+    tags=("dedup", "exact", "apply"),
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from open_rust_timeseries_db_spark.functions.text import (
+        fingerprint,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        fingerprint("text").alias("fp"),
+        F.size(tokens("text")).cast("bigint").alias("n_toks"),
+    ).withColumn(
+        "kept",
+        F.when(
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        F.sum(F.lit(1) - F.col("kept")).alias("n_dropped"),
+        F.sum(
+            F.when(F.col("kept") == 0, F.col("n_toks")).otherwise(F.lit(0))
+        ).alias("tokens_dropped"),
+    )
