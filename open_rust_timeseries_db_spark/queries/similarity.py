@@ -331,3 +331,60 @@ def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_members").cast("double")
         ).alias("mean_e"),
     )
+
+
+_SEM_THRESHOLD = 0.4
+
+
+@query(
+    "q_semantic_dedup",
+    f"""
+    WITH {_NORMS_CTE}, {_ASSIGN_CTE}, pdots AS (
+      SELECT m1.vec_id AS va, m2.vec_id AS vb, m1.centroid_id AS centroid_id,
+             {sql_fx_sum("CAST(a.e AS DOUBLE) * CAST(b.e AS DOUBLE)")} AS dot
+      FROM members m1
+      JOIN members m2 ON m2.centroid_id = m1.centroid_id
+                     AND m1.vec_id < m2.vec_id
+      JOIN elems a ON a.vec_id = m1.vec_id
+      JOIN elems b ON b.vec_id = m2.vec_id AND b.i = a.i
+      GROUP BY 1, 2, 3
+    ), cosines AS (
+      SELECT va AS vec_a, vb AS vec_b, centroid_id,
+             (d.dot / 1e12) / (SQRT(na.n2 / 1e12) * SQRT(nb.n2 / 1e12))
+               AS cosine
+      FROM pdots d
+      JOIN norms na ON na.vec_id = d.va
+      JOIN norms nb ON nb.vec_id = d.vb
+    )
+    SELECT vec_a, vec_b, centroid_id, cosine
+    FROM cosines WHERE cosine >= {_SEM_THRESHOLD}
+    """,
+    doc="SEMANTIC dedup — the ANN-index-blocked embedding near-dup a "
+    "production pipeline runs (SemDeDup-style): candidate pairs are "
+    "generated only WITHIN each IVF cell of the session-cached "
+    "assignment index (same table q_ann_ivf aggregates), then scored "
+    "with the exact fixed-point cosine. Complements "
+    "q_embedding_neardup's label blocking: here the blocking structure "
+    "is LEARNED from the vectors themselves, which is what exists at "
+    "100 TB when no labels do. Shape: one shuffle on centroid_id; "
+    "applyInPandas forms each cell's pair matrix in numpy (O(B*d) "
+    "transfer per cell, never a pair join); cell size bounds the "
+    "quadratic work exactly like an LSH bucket.",
+    tags=("similarity", "dedup", "semantic"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.functions.vectors import (
+        blocked_neardup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = (
+        _assigned_ckpt(emb)
+        .select("vec_id", "centroid_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    return blocked_neardup(
+        blocked, block_col="centroid_id", threshold=_SEM_THRESHOLD
+    ).select(
+        "vec_a", "vec_b", "centroid_id", "cosine"
+    )

@@ -114,6 +114,8 @@ def test_python_confined_to_designated_operators(spark, qs):
         # real PNG / WAV encode->decode roundtrips inside Arrow passes:
         "q_image_decode",
         "q_audio_decode",
+        # IVF-cell-blocked pair scoring (applyInPandas per cell):
+        "q_semantic_dedup",
     }
     for name, spec in qs.items():
         if name.startswith("q_stream"):
