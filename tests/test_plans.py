@@ -291,3 +291,13 @@ def test_codec_queries_zero_data_shuffle(spark, qs):
         in_pandas = plan.index("InPandas")
         exchange = plan.index("Exchange")
         assert in_pandas < exchange, f"{name}: shuffle after kernel\n{plan}"
+
+
+def test_semantic_dedup_blocks_on_centroid(spark, qs):
+    """q_semantic_dedup's pair work must be blocked by the IVF cell:
+    the applyInPandas group shuffle hashes on centroid_id, bounding the
+    quadratic pair matrix per task exactly like an LSH bucket. A plan
+    without that partitioning would drift toward all-pairs."""
+    df = qs["q_semantic_dedup"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "hashpartitioning(centroid_id" in plan, plan
