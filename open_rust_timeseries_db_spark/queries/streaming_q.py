@@ -218,7 +218,11 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # elsewhere), so per-partition update/commit work dominates and 16
     # parallel stores measure ~15% faster than 4 (sweep: 4/8/16/32 ->
     # 1.22/1.18/1.10/1.36 s). Exactly the explicit state-volume sizing
-    # run_available_now_to_memory's docstring prescribes.
+    # run_available_now_to_memory's docstring prescribes. RocksDB
+    # provider measured a wash for this one-batch drain (min 1.26 s vs
+    # 1.13 s HDFS-backed over 3 trials each) — its win is incremental
+    # snapshots across MANY micro-batches, which a bounded availableNow
+    # drain never amortizes; kept on the default in-memory provider.
     return run_available_now_to_memory(
         spark, agg, mode="complete", state_partitions=16
     )
