@@ -171,15 +171,25 @@ def _cached_ckpt(src: DataFrame, out: DataFrame, key_parts: tuple) -> DataFrame:
     stat-gated paths (broadcast cutovers) force materialization at plan
     time anyway through cached_count/cached_avg, which memoize on the
     returned object."""
-    try:
-        sem = src.semanticHash()
-        plan = src._jdf.queryExecution().analyzed().toString()
-    except Exception:  # pragma: no cover - exotic DataFrame proxy
-        return out.persist()
+    # The (semanticHash, analyzed-plan md5) pair is a pure function of
+    # the src plan; memoize it on the (catalog-cached, session-stable)
+    # src object — py4j round trips for plan analysis cost ~50-150 ms
+    # per call and a single query touches several ckpts of one src.
+    src_key = getattr(src, "_orts_ckpt_src_key", None)
+    if src_key is None:
+        try:
+            sem = src.semanticHash()
+            plan = src._jdf.queryExecution().analyzed().toString()
+        except Exception:  # pragma: no cover - exotic DataFrame proxy
+            return out.persist()
+        src_key = (sem, hashlib.md5(plan.encode("utf-8")).hexdigest())
+        try:
+            src._orts_ckpt_src_key = src_key
+        except AttributeError:  # pragma: no cover
+            pass
     key = (
         src.sparkSession.sparkContext.applicationId,
-        sem,
-        hashlib.md5(plan.encode("utf-8")).hexdigest(),
+        *src_key,
         *key_parts,
     )
     hit = _CKPT_CACHE.get(key)
@@ -770,13 +780,54 @@ def bigram_counts_ckpt(
     """Session-cached corpus bigram occurrence counts
     (bigram, w1, n_bigram) — the corpus-sized aggregation behind
     q_ngram_lm_bigrams; prefix rollups and top-k re-aggregate this.
-    Built from the Arrow partial-count kernel + one vocabulary-sized
-    final sum (see bigram_partial_counts_pd)."""
-    partials = bigram_partial_counts_pd(docs, id_col, text_col)
-    bc = partials.groupBy("bigram", "w1").agg(
-        F.sum("n_bigram").alias("n_bigram")
+
+    Derived by a JVM hash-agg rollup of the per-document bigram table
+    (doc_bigram_counts_ckpt) rather than a second Arrow tokenization
+    pass: the whole bigram-LM family (q_ngram_lm_bigrams, q_lm_score,
+    q_repetition_ratio) now shares ONE kernel pass over the corpus —
+    round-3's cold path paid tokenization twice (bigram_partial_counts
+    AND doc_bigram_counts), which was the bulk of q_lm_score's 7.7x
+    cold ratio. The rollup shuffles per-doc-DISTINCT rows instead of
+    batch partials — more rows, but count-carrying and map-side
+    combined, and it reads already-cached Arrow output instead of
+    re-running Python tokenization. bigram_partial_counts_pd remains
+    the standalone single-output-kernel (property-tested) variant."""
+    db = doc_bigram_counts_ckpt(docs, id_col, text_col)
+    bc = db.groupBy("bigram").agg(F.sum("n").alias("n_bigram")).select(
+        "bigram",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        "n_bigram",
     )
     return _cached_ckpt(docs, bc, ("bigram_counts", id_col, text_col))
+
+
+def bigram_lm_ckpt(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Session-cached fixed-point bigram LM table (bigram, p_fx):
+    floor(n_bigram / n_prefix * 1e12) as bigint — the corpus-pure,
+    vocabulary-sized conditional-probability dictionary q_lm_score
+    broadcasts onto per-doc bigram counts.
+
+    The prefix denominator comes from a window sum over w1 WITHIN this
+    table's one build job (vocabulary-sized input) instead of a
+    separate materialized prefix table + broadcast join: cold cost is
+    one job that materializes doc-bigram, bigram-counts, and this LM
+    table in a single chain."""
+    from pyspark.sql.window import Window
+
+    bc = bigram_counts_ckpt(docs, id_col, text_col)
+    lm = bc.select(
+        "bigram",
+        F.floor(
+            F.col("n_bigram").cast("double")
+            / F.sum("n_bigram").over(Window.partitionBy("w1")).cast("double")
+            * F.lit(1e12)
+        )
+        .cast("bigint")
+        .alias("p_fx"),
+    )
+    return _cached_ckpt(docs, lm, ("bigram_lm_fx", id_col, text_col))
 
 
 def doc_lengths_ckpt(

@@ -95,8 +95,10 @@ def decode_image(payload: bytes) -> "np.ndarray":
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # len + type + data + crc
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("truncated IHDR chunk")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
+                ">IIBBBBB", data[:13]
             )
             if depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {depth}")
@@ -299,6 +301,8 @@ def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
         body = payload[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if ctype == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif ctype == b"data":
             data = body

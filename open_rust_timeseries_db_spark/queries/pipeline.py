@@ -721,33 +721,16 @@ def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_rust_timeseries_db_spark.functions.text_kernels import (
-        _cached_ckpt,
-        bigram_counts_ckpt,
-        bigram_prefix_ckpt,
+        bigram_lm_ckpt,
         doc_bigram_counts_ckpt,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     db = doc_bigram_counts_ckpt(docs)
-    bc = bigram_counts_ckpt(docs)
-    pc = bigram_prefix_ckpt(docs)
-    # The fixed-point LM itself is corpus-pure and vocabulary-sized:
-    # session-cache it so a warm invocation broadcasts cached blocks
-    # instead of re-running the counts join + floor chain.
-    lm = _cached_ckpt(
-        docs,
-        bc.join(F.broadcast(pc), "w1").select(
-            "bigram",
-            F.floor(
-                F.col("n_bigram").cast("double")
-                / F.col("n_prefix").cast("double")
-                * F.lit(1e12)
-            )
-            .cast("bigint")
-            .alias("p_fx"),
-        ),
-        ("bigram_lm_fx",),
-    )
+    # Session-cached fixed-point LM dictionary; its one build job also
+    # materializes the shared doc-bigram and bigram-count tables (the
+    # whole family is a single tokenization pass — see bigram_lm_ckpt).
+    lm = bigram_lm_ckpt(docs)
     scored = db.join(F.broadcast(lm), "bigram").groupBy("id").agg(
         F.sum("n").alias("n_bigrams"),
         F.count(F.lit(1)).alias("n_distinct"),

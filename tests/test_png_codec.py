@@ -102,6 +102,23 @@ def test_rejects_malformed():
         decode_image(bad16)
 
 
+def test_truncated_chunks_raise_valueerror_not_struct_error():
+    # Valid signature + IHDR declaring 13 bytes but carrying only 4:
+    # must surface as ValueError (ok=false data downstream), never
+    # struct.error, which would fail the whole Spark task.
+    trunc = _PNG_SIG + _chunk(b"IHDR", struct.pack(">I", 4))
+    with pytest.raises(ValueError, match="truncated IHDR"):
+        decode_image(trunc)
+    # WAV with a truncated fmt chunk (4 of 16 bytes), same contract.
+    from open_rust_timeseries_db_spark.operators.multimodal import decode_audio
+
+    body = struct.pack("<HH", 1, 1)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(body)) + body)
+    with pytest.raises(ValueError, match="truncated fmt"):
+        decode_audio(wav)
+
+
 def test_image_features_operator(spark):
     good = _rng_img(5, 7, 3, seed=3)
     rows = [
