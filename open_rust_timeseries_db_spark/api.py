@@ -37,6 +37,7 @@ layer (streaming/) for continuous feeds.
 from __future__ import annotations
 
 import threading
+import time
 from collections import deque
 from typing import Any
 
@@ -79,6 +80,17 @@ class Table:
         self._fields = {f.name: f for f in schema.fields}
         self._buf: deque[tuple[Any, ...]] = deque()
         self._lock = threading.Lock()
+        # Per-op ingest latency accounting (reference get_stats,
+        # src/tests/integration_test.rs:109-120): the reference pushes
+        # every latency into an unbounded Vec and averages on read;
+        # running sums give the same avg/max with O(1) memory — the
+        # version that survives a long-lived ingest edge.
+        self._w_ns_sum = 0
+        self._w_ns_max = 0
+        self._n_writes = 0
+        self._r_ns_sum = 0
+        self._r_ns_max = 0
+        self._n_reads = 0
         # True while a flush_to_parquet is in flight: writes are
         # rejected (backpressure) so a failed flush can always restore
         # its drained rows without exceeding capacity.
@@ -117,24 +129,66 @@ class Table:
                 )
             row.append(value)
         row_t = tuple(row)
+        t0 = time.perf_counter_ns()
         with self._lock:
-            if self._flushing:
-                return False
-            if len(self._buf) >= self._capacity:
-                if self._overflow == "reject-new":
+            try:
+                if self._flushing:
                     return False
-                self._buf.popleft()
-            self._buf.append(row_t)
-            return True
+                if len(self._buf) >= self._capacity:
+                    if self._overflow == "reject-new":
+                        return False
+                    self._buf.popleft()
+                self._buf.append(row_t)
+                return True
+            finally:
+                dt = time.perf_counter_ns() - t0
+                self._w_ns_sum += dt
+                self._n_writes += 1
+                if dt > self._w_ns_max:
+                    self._w_ns_max = dt
 
     def read_one_record(self) -> dict[str, Any] | None:
         """Destructive FIFO read; None when empty (at-most-once, like
         try_dequeue — use flush_to_parquet for exactly-once handoff)."""
+        t0 = time.perf_counter_ns()
         with self._lock:
-            if not self._buf:
-                return None
-            row = self._buf.popleft()
+            try:
+                if not self._buf:
+                    return None
+                row = self._buf.popleft()
+            finally:
+                dt = time.perf_counter_ns() - t0
+                self._r_ns_sum += dt
+                self._n_reads += 1
+                if dt > self._r_ns_max:
+                    self._r_ns_max = dt
         return dict(zip(self._fields, row))
+
+    def get_stats(self) -> dict[str, float | int | None]:
+        """Per-operation ingest latency statistics, in nanoseconds.
+
+        Parity with the reference's ``get_stats`` (avg write, avg
+        read, max; src/tests/integration_test.rs:109-120), as a dict:
+        ``avg_write_ns``/``avg_read_ns`` are None until the first
+        operation of that kind (the reference yields None the same
+        way), ``max_ns`` is the max across both op kinds. Latency
+        covers the locked critical section — queueing on the mutex
+        included, as a producer experiences it.
+        """
+        with self._lock:
+            return {
+                "avg_write_ns": (
+                    self._w_ns_sum / self._n_writes if self._n_writes else None
+                ),
+                "avg_read_ns": (
+                    self._r_ns_sum / self._n_reads if self._n_reads else None
+                ),
+                "max_write_ns": self._w_ns_max,
+                "max_read_ns": self._r_ns_max,
+                "max_ns": max(self._w_ns_max, self._r_ns_max),
+                "n_writes": self._n_writes,
+                "n_reads": self._n_reads,
+            }
 
     def record_count(self) -> int:
         with self._lock:

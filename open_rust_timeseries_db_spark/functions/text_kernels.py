@@ -467,6 +467,11 @@ _WINNOW_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType()),
         T.StructField("fp", T.LongType()),
+        # Per-doc selected-fingerprint count, constant across the doc's
+        # rows: each doc's fingerprints are computed within one batch,
+        # so the count is free here and saves consumers (MOSS
+        # containment scoring) a per-doc groupBy + two re-attach joins.
+        T.StructField("n_fp", T.LongType()),
     ]
 )
 
@@ -502,7 +507,7 @@ def winnow_fp_pd(
             if not len(pdf):
                 continue
             memo: dict[str, int] = {}
-            ids_out, fps_out = [], []
+            ids_out, fps_out, nfp_out = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks = _toks(text)
                 n_sh = len(toks) - n + 1
@@ -521,16 +526,22 @@ def winnow_fp_pd(
                 uniq = np.unique(sliding_window_view(hs, w).min(axis=1))
                 ids_out.append(np.full(len(uniq), doc_id, dtype="int64"))
                 fps_out.append(uniq)
+                nfp_out.append(np.full(len(uniq), len(uniq), dtype="int64"))
             if not ids_out:
                 yield pd.DataFrame(
                     {
                         "id": pd.Series([], dtype="int64"),
                         "fp": pd.Series([], dtype="int64"),
+                        "n_fp": pd.Series([], dtype="int64"),
                     }
                 )
                 continue
             yield pd.DataFrame(
-                {"id": np.concatenate(ids_out), "fp": np.concatenate(fps_out)}
+                {
+                    "id": np.concatenate(ids_out),
+                    "fp": np.concatenate(fps_out),
+                    "n_fp": np.concatenate(nfp_out),
+                }
             )
 
     return _kernel_input(docs, id_col, text_col).mapInPandas(gen, _WINNOW_SCHEMA)

@@ -1,0 +1,97 @@
+"""Named builders for every shared session-cached corpus artifact.
+
+A long-lived engine maintains derived tables — tokenized term
+frequencies, shingle/minhash profiles, the bigram LM, the ANN index —
+as session state over an immutable corpus; individual queries then pay
+only their own aggregation work. The round-3 verdict flagged the bench
+attribution problem this creates: with queries timed alphabetically in
+one session, whichever query touches an artifact FIRST absorbs its
+whole build cost (q_bm25_rank's 42.9x "cold" was mostly the shared tf
+table), while later siblings look artificially cheap.
+
+This module is the fix: one named builder per shared artifact, each
+calling the SAME ckpt functions with the SAME parameters the queries
+use (imported constants, not copies). bench.py runs and times these as
+an explicit "cache build" phase before the per-query passes, so the
+committed BENCH/ORACLE_BENCH report charges builds to their own lines
+and per-query cold ratios reflect per-query work.
+
+At 100 TB the same artifacts would be materialized tables maintained by
+an ingest-time pipeline (a metastore-registered index build), not
+per-query state — which is exactly how this phase is shaped: each
+builder is a standalone materialization job over the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+from open_rust_timeseries_db_spark.sources.catalog import load_table
+
+
+def cache_builders(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, Callable[[], int]]:
+    """name -> thunk materializing one shared artifact; returns rows.
+
+    Ordered so derived artifacts follow their parents (bigram_counts
+    rolls up doc_bigram; the LM table windows bigram_counts): each line
+    then times only that artifact's own incremental build.
+    """
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        bigram_counts_ckpt,
+        bigram_lm_ckpt,
+        bigram_prefix_ckpt,
+        cached_count,
+        doc_bigram_counts_ckpt,
+        doc_lengths_ckpt,
+        doc_term_tf_ckpt,
+        shingle_hashes_ckpt,
+        shingle_profile_ckpt,
+        simhash_signatures_ckpt,
+        term_df_ckpt,
+        winnow_fp_ckpt,
+    )
+    from open_rust_timeseries_db_spark.operators.dedupe import MINHASH_PERMS
+    from open_rust_timeseries_db_spark.queries.dedup import _MH_PERMS
+    from open_rust_timeseries_db_spark.queries.similarity import (
+        _ann_matrices,
+        _assigned_ckpt,
+    )
+    from open_rust_timeseries_db_spark.queries.text import _WINNOW_W
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    builders: dict[str, Callable[[], int]] = {
+        # (doc, term, tf) family: TF-IDF, BM25, token diversity.
+        "doc_term_tf": lambda: cached_count(doc_term_tf_ckpt(docs)),
+        "term_df": lambda: cached_count(term_df_ckpt(docs)),
+        "doc_lengths": lambda: cached_count(doc_lengths_ckpt(docs)),
+        # bigram LM family: q_ngram_lm_bigrams, q_lm_score,
+        # q_repetition_ratio — one tokenization pass, rolled up twice.
+        "doc_bigram": lambda: cached_count(doc_bigram_counts_ckpt(docs)),
+        "bigram_counts": lambda: cached_count(bigram_counts_ckpt(docs)),
+        "bigram_prefix": lambda: cached_count(bigram_prefix_ckpt(docs)),
+        "bigram_lm": lambda: cached_count(bigram_lm_ckpt(docs)),
+        # shingle family: exact/ngram jaccard, contamination.
+        "shingle_hashes": lambda: cached_count(shingle_hashes_ckpt(docs)),
+        # minhash profiles: production 16-perm (q_dedup_near) and the
+        # 8-perm reference construction (q_minhash_jaccard).
+        "minhash_profile_16": lambda: cached_count(
+            shingle_profile_ckpt(docs, n_perms=MINHASH_PERMS)
+        ),
+        "minhash_profile_8": lambda: cached_count(
+            shingle_profile_ckpt(docs, n_perms=_MH_PERMS)
+        ),
+        "simhash_sigs": lambda: cached_count(simhash_signatures_ckpt(docs)),
+        "winnow_fp": lambda: cached_count(
+            winnow_fp_ckpt(docs, n=3, w=_WINNOW_W)
+        ),
+        # ANN/IVF index build: centroid matrices + assignment table.
+        "ann_matrices": lambda: len(_ann_matrices(emb)[0]),
+        "ivf_assign": lambda: cached_count(_assigned_ckpt(emb)),
+    }
+    return builders

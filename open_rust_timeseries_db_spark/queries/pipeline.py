@@ -301,7 +301,10 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixed-point floor(x*1e12) BIGINT fold makes the accumulation
     # exact on both engines (same scheme as functions/vectors.py).
     scored = (
-        tf.join(dl, "doc_id")
+        # dl is doc-count-sized (one skinny row per doc): broadcast it
+        # explicitly — relying on stats-derived auto-broadcast left
+        # this as a two-sided shuffle join on cold plans.
+        tf.join(F.broadcast(dl), "doc_id")
         .join(F.broadcast(df), "tok")
         .groupBy("doc_id")
         .agg(

@@ -345,40 +345,41 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     fps = winnow_fp_ckpt(docs, n=3, w=_WINNOW_W)
+    # The kernel emits each doc's fingerprint count on every row
+    # (constant per doc, free in-batch), so the containment
+    # denominator rides through the pair expansion — no per-doc sizes
+    # groupBy and no re-attach joins: two shuffles total (fp grouping,
+    # pair aggregation) instead of three plus two joins.
     groups = (
         fps.groupBy("fp")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(
-            (F.size("ids") >= 2) & (F.size("ids") <= _WINNOW_MAX_DF)
-        )
+        .agg(F.collect_list(F.struct("id", "n_fp")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= _WINNOW_MAX_DF))
     )
     pairs = (
-        groups.select(F.explode("ids").alias("a"), "ids")
-        .select("a", F.explode("ids").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        groups.select(F.explode("ms").alias("x"), "ms")
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("x.n_fp").alias("n_fp_a"),
+            F.explode("ms").alias("y"),
+        )
+        .filter(F.col("a") < F.col("y.id"))
+        .groupBy(
+            "a",
+            F.col("y.id").alias("b"),
+            "n_fp_a",
+            F.col("y.n_fp").alias("n_fp_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= 3)
     )
-    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
-    return (
-        pairs.join(
-            sizes.select(F.col("id").alias("a"), F.col("n_fp").alias("n_fp_a")),
-            "a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("b"), F.col("n_fp").alias("n_fp_b")),
-            "b",
-        )
-        .select(
-            "a",
-            "b",
-            "n_common",
-            (
-                F.col("n_common").cast("double")
-                / F.least("n_fp_a", "n_fp_b").cast("double")
-            ).alias("containment"),
-        )
+    return pairs.select(
+        "a",
+        "b",
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / F.least("n_fp_a", "n_fp_b").cast("double")
+        ).alias("containment"),
     )
 
 

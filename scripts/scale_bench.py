@@ -1,0 +1,117 @@
+"""Benchmark the forced 100-TB scale paths against the default paths.
+
+The dedup/clustering family has byte-estimated physical-strategy
+cutovers: small inputs broadcast (self-equi-join on the bucket key),
+large inputs take the grouped inline-expansion path (ONE shuffle,
+pairs expanded per bucket) — and connected components switches from a
+driver union-find (edge list bounded) to distributed min-label
+propagation. At testdata scale the broadcast/driver paths always win
+the cutover, so the round-3 verdict flagged that the scale shapes were
+equality-TESTED but never TIMED.
+
+This script times both: each family query runs warm (2 passes, shared
+kernel caches pre-built so only the pair-generation strategy differs),
+first with default cutovers, then with the scale paths FORCED
+(BROADCAST_MAX_BYTES=0, DRIVER_CC_MAX_EDGES=0). Writes
+SCALE_BENCH.json at the repo root.
+
+Interpretation: forced/default ratio is the LOCAL price of the scale
+shape at toy size — grouped expansion pays a real shuffle where the
+broadcast path ships 12 MB; at 100 TB the broadcast path simply does
+not exist (the bucketed table cannot ship to every executor), so the
+question this answers is "is the scale shape sane, not pathological"
+(ratio within ~2x at a size where its fixed costs are LEAST amortized).
+
+Usage:
+    python scripts/scale_bench.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Queries whose physical strategy the knobs flip (dedup pair
+# generation, clustering) — plus close family members as controls
+# (expected ratio ~1.0: same path both phases).
+SWEEP = [
+    "q_dedup_near",
+    "q_minhash_jaccard",
+    "q_ngram_jaccard",
+    "q_simhash",
+    "q_dedup_clusters",
+    "q_contamination",
+    "q_winnow_neardup",
+    "q_dedup_exact",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    import open_rust_timeseries_db_spark.operators.dedupe as dd
+    import open_rust_timeseries_db_spark.operators.graph as gr
+    from open_rust_timeseries_db_spark.queries import all_queries
+    from open_rust_timeseries_db_spark.queries.cache_builds import (
+        cache_builders,
+    )
+    from open_rust_timeseries_db_spark.session import get_spark
+
+    spark = get_spark("scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # Shared kernel tables identical across phases: build once so the
+    # measured difference is the pair-generation strategy, not cache
+    # materialization.
+    for build in cache_builders(spark, sf_dir).values():
+        build()
+
+    def run_warm(name: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    default_t = {name: run_warm(name) for name in SWEEP}
+
+    dd.BROADCAST_MAX_BYTES = 0
+    gr.DRIVER_CC_MAX_EDGES = 0
+    forced_t = {name: run_warm(name) for name in SWEEP}
+
+    out = {
+        "sf_dir": sf_dir,
+        "policy": (
+            "warm = min of 2 passes, shared kernel caches pre-built in "
+            "both phases; forced = BROADCAST_MAX_BYTES=0 + "
+            "DRIVER_CC_MAX_EDGES=0 (grouped inline-expansion pair "
+            "generation, distributed min-label-propagation CC)"
+        ),
+        "queries": {
+            name: {
+                "default_warm_sec": default_t[name],
+                "forced_scale_warm_sec": forced_t[name],
+                "ratio": round(forced_t[name] / default_t[name], 2)
+                if default_t[name] > 0
+                else None,
+            }
+            for name in SWEEP
+        },
+    }
+    path = Path(__file__).resolve().parent.parent / "SCALE_BENCH.json"
+    path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
+    print(json.dumps(out["queries"], indent=1))
+    print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -227,3 +227,34 @@ def test_ingest_throughput_beats_reference_workload(spark):
     assert n_consumed[0] == produced
     rate = produced / elapsed
     assert rate >= 10_000, f"end-to-end {rate:,.0f} msgs/s under reference bar"
+
+
+def test_get_stats_contract(spark):
+    """Reference get_stats parity (src/tests/integration_test.rs:109-120):
+    per-op avg/max write/read latency in ns, None before first op."""
+    t = Table(spark, "stats", MARKET_SCHEMA, capacity=8)
+    s0 = t.get_stats()
+    assert s0["avg_write_ns"] is None and s0["avg_read_ns"] is None
+    assert s0["n_writes"] == 0 and s0["n_reads"] == 0 and s0["max_ns"] == 0
+
+    for i in range(5):
+        assert t.write_record(_tick(0, i))
+    s1 = t.get_stats()
+    assert s1["n_writes"] == 5 and s1["n_reads"] == 0
+    assert s1["avg_write_ns"] > 0
+    assert s1["max_write_ns"] >= s1["avg_write_ns"]
+    assert s1["avg_read_ns"] is None
+
+    assert t.read_one_record() is not None
+    assert t.read_one_record() is not None
+    s2 = t.get_stats()
+    assert s2["n_reads"] == 2 and s2["avg_read_ns"] > 0
+    assert s2["max_ns"] == max(s2["max_write_ns"], s2["max_read_ns"])
+    # avg/max are running aggregates: max never below avg, monotone counts.
+    assert s2["n_writes"] == 5
+    # Reads on empty still count as read attempts (the op ran).
+    while t.read_one_record() is not None:
+        pass
+    n_after_drain = t.get_stats()["n_reads"]
+    t.read_one_record()
+    assert t.get_stats()["n_reads"] == n_after_drain + 1

@@ -235,13 +235,27 @@ def test_warm_plan_build_runs_zero_jobs(spark, qs):
 
 
 def test_scoring_lm_sides_broadcast(spark, qs):
-    """q_lm_score's LM side (vocabulary-sized bigram model) and
-    q_winnow_neardup's per-doc fingerprint-count side must broadcast:
-    shuffling the per-doc corpus stream to meet a dictionary-sized
-    table is wrong at any scale."""
-    for name in ("q_lm_score", "q_winnow_neardup"):
-        df = qs[name].fn(spark, SF_DIR)
-        assert has_broadcast_hash_join(df), f"{name}: {plan_string(df, 'simple')}"
+    """q_lm_score's LM side (vocabulary-sized bigram model) must
+    broadcast: shuffling the per-doc corpus stream to meet a
+    dictionary-sized table is wrong at any scale."""
+    df = qs["q_lm_score"].fn(spark, SF_DIR)
+    assert has_broadcast_hash_join(df), plan_string(df, "simple")
+
+
+def test_winnow_neardup_joinless(spark, qs):
+    """q_winnow_neardup carries the containment denominator (per-doc
+    fingerprint count, emitted by the Arrow kernel on every row)
+    through the pair expansion: the plan must contain NO join of any
+    kind and at most two Exchanges (fp grouping + pair aggregation) —
+    a sizes re-attach join or a third shuffle means the free-rider
+    n_fp column regressed."""
+    df = qs["q_winnow_neardup"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "Join" not in plan, plan
+    # Only the plan above the cached fp table executes (the cached
+    # node's stored lineage prints below but never re-runs).
+    live = plan[: plan.index("InMemoryTableScan")] if "InMemoryTableScan" in plan else plan
+    assert live.count("Exchange") <= 2, plan
 
 
 def test_token_diversity_single_shuffle(spark, qs):
