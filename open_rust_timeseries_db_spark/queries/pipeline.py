@@ -280,9 +280,25 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         dl, "bm25_stats", F.count(F.lit(1)), F.sum("dl")
     )
     tf = tfall.filter(F.col("tok").isin(*_BM25_TERMS))
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # Document frequencies of the (fixed, few) query terms are corpus
+    # scalars like n_docs/dl_total: memoize them once per session and
+    # enter them as a literal tok->df map — one scan job on first
+    # invocation, zero jobs and one fewer join forever after (the
+    # broadcast-build job re-scanned the cached tf table per call).
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        cached_collect,
+    )
+
+    df_rows = cached_collect(
+        docs,
+        "bm25_term_df",
+        tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")),
+    )
+    df_map = F.create_map(
+        *[F.lit(x) for r in df_rows for x in (r["tok"], float(r["df"]))]
+    )
     term = (
-        (F.lit(n_docs).cast("double") / F.col("df"))
+        (F.lit(n_docs).cast("double") / df_map[F.col("tok")])
         * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
         / (
             F.col("tf")
@@ -305,7 +321,6 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # explicitly — relying on stats-derived auto-broadcast left
         # this as a two-sided shuffle join on cold plans.
         tf.join(F.broadcast(dl), "doc_id")
-        .join(F.broadcast(df), "tok")
         .groupBy("doc_id")
         .agg(
             (
