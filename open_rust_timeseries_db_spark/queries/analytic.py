@@ -79,13 +79,14 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT l_returnflag, l_linestatus,
              COUNT(*) AS pn,
-             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS pr
+             SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))*1000000
+                            + 0.5) AS BIGINT)) AS pr_fx
       FROM lineitem GROUP BY 1, 2
     )
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag, l_linestatus) AS gid,
            CAST(SUM(pn) AS BIGINT) AS n,
-           CAST(SUM(pr) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(pr_fx) AS BIGINT) AS DOUBLE)/1000000.0 AS revenue
     FROM base
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -97,17 +98,23 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytic", "agg", "cube"),
 )
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.queries.helpers import _scaled_long
+
     li = load_table(spark, sf_dir, "lineitem")
+    # Fixed-point BIGINT partials (see q_rollup_revenue): same values
+    # as the DECIMAL accumulator, none of its per-row allocation cost.
     base = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("pn"),
         F.sum(
-            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(DEC)
-        ).alias("pr"),
+            _scaled_long(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            )
+        ).alias("pr_fx"),
     )
     return base.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
         F.sum("pn").alias("n"),
-        F.sum("pr").cast("double").alias("revenue"),
+        (F.sum("pr_fx").cast("double") / F.lit(1e6)).alias("revenue"),
     )
 
 
@@ -132,7 +139,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS sum_price
+               CAST(SUM(CAST(FLOOR(o_totalprice*1000000 + 0.5) AS BIGINT))
+                    AS DOUBLE)/1000000.0 AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -143,10 +151,10 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_range_frame",
     f"""
     SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+           CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN {_GAP_US} PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS sum_5min
+           ) AS DOUBLE)/1000000.0 AS sum_5min
     FROM events
     """,
     doc="RANGE-framed window: per user, the 5-minute trailing sum by "
@@ -163,11 +171,17 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us")
         .rangeBetween(-_GAP_US, Window.currentRow)
     )
+    from open_rust_timeseries_db_spark.queries.helpers import _scaled_long
+
     return ev.select(
         "event_id",
         "user_id",
         "ts_us",
-        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_5min"),
+        # Fixed-point frame sum — see q_moving_avg's rationale.
+        (
+            F.sum(_scaled_long(F.col("value"))).over(w).cast("double")
+            / F.lit(1e6)
+        ).alias("sum_5min"),
     )
 
 
@@ -204,11 +218,18 @@ _WIDTH_US = 600_000_000  # 10-minute sliding window width
     tags=("analytic", "window", "sliding"),
 )
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.queries.helpers import _scaled_long
+
     ev = events_us(spark, sf_dir)
     slide = (F.col("ts_us") - (F.col("ts_us") % _SLIDE_US)).alias("slide_us")
+    # Fixed-point BIGINT partials: exact and associative under the
+    # second-phase re-sum, like the DECIMAL partials they replace, but
+    # whole-stage-codegen fast (the DECIMAL accumulator allocates a
+    # BigDecimal per row — ~5x slower over the full events scan; see
+    # helpers.dsum). Final conversion is one CAST(S AS DOUBLE)/1e6.
     buckets = ev.groupBy(slide).agg(
         F.count(F.lit(1)).alias("bn"),
-        F.sum(F.col("value").cast(DEC)).alias("bsum"),  # exact partials
+        F.sum(_scaled_long(F.col("value"))).alias("bsum_fx"),
     )
     # Every event in slide bucket s lies in exactly the windows starting
     # at s - k*slide for k = 0..width/slide-1, so the expansion is
@@ -216,7 +237,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     expanded = buckets.select(
         "slide_us",
         "bn",
-        "bsum",
+        "bsum_fx",
         F.explode(
             F.sequence(F.lit(0), F.lit(_WIDTH_US // _SLIDE_US - 1))
         ).alias("k"),
@@ -226,7 +247,9 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         expanded.groupBy(win_start.alias("win_start_us"))
         .agg(
             F.sum("bn").alias("n"),
-            F.sum("bsum").cast("double").alias("sum_value"),
+            (F.sum("bsum_fx").cast("double") / F.lit(1e6)).alias(
+                "sum_value"
+            ),
         )
         .select(
             "win_start_us",

@@ -116,10 +116,17 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    from open_rust_timeseries_db_spark.queries.helpers import _scaled_long
+
+    # Fixed-point BIGINT accumulation per cell (same values as the
+    # DECIMAL accumulator, no per-row BigDecimal; see helpers.dsum).
     pivoted = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"))
+        .agg(
+            F.sum(_scaled_long(F.col("o_totalprice"))).cast("double")
+            / F.lit(1e6)
+        )
     )
     return pivoted.select(
         "o_orderpriority",

@@ -288,25 +288,31 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "agg", "rollup"),
 )
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.queries.helpers import _scaled_long
+
     li = load_table(spark, sf_dir, "lineitem")
     # Two-phase rollup: aggregate to the finest grouping first, then
     # roll the (tiny) partials up. Grouping-sets expansion multiplies
     # input rows by the number of sets BEFORE partial aggregation, so
     # rolling up raw lineitem triples the scanned-row volume; rolling up
-    # the per-(flag,status) partials is free and exact (decimal sums of
-    # decimal sums). At 100 TB this is the difference between one scan
-    # and three.
+    # the per-(flag,status) partials is free and exact. Partials are
+    # fixed-point BIGINT micro-units (identical values to the DECIMAL
+    # accumulator they replace — same per-row half-up rounding, exact
+    # integer re-sum — minus its per-row BigDecimal allocation; see
+    # helpers.dsum), matching the oracle's sql_dsum construction.
     base = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum(F.col("l_quantity").cast(DEC)).alias("pq"),
+        F.sum(_scaled_long(F.col("l_quantity"))).alias("pq_fx"),
         F.sum(
-            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(DEC)
-        ).alias("pr"),
+            _scaled_long(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            )
+        ).alias("pr_fx"),
     )
     return base.rollup("l_returnflag", "l_linestatus").agg(
         F.sum("pn").alias("n"),
-        F.sum("pq").cast("double").alias("sum_qty"),
-        F.sum("pr").cast("double").alias("revenue"),
+        (F.sum("pq_fx").cast("double") / F.lit(1e6)).alias("sum_qty"),
+        (F.sum("pr_fx").cast("double") / F.lit(1e6)).alias("revenue"),
     )
 
 
@@ -314,7 +320,8 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_moving_avg",
     f"""
     SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+           CAST(SUM(CAST(FLOOR(value*1000000 + 0.5) AS BIGINT)) OVER w
+                AS DOUBLE)/1000000.0
              / COUNT(*) OVER w AS mov_avg
     FROM events
     WINDOW w AS (
@@ -336,12 +343,18 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us", "event_id")
         .rowsBetween(-6, Window.currentRow)
     )
+    from open_rust_timeseries_db_spark.queries.helpers import _scaled_long
+
     return ev.select(
         "event_id",
         "user_id",
         "ts_us",
+        # Fixed-point window sum: same per-row half-up rounding and
+        # exact integer accumulation as the DECIMAL frame it replaces,
+        # without a BigDecimal allocation per frame slide.
         (
-            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            F.sum(_scaled_long(F.col("value"))).over(w).cast("double")
+            / F.lit(1e6)
             / F.count(F.lit(1)).over(w)
         ).alias("mov_avg"),
     )
