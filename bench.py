@@ -75,7 +75,10 @@ def main() -> None:
     _base = spark.range(1000).select(
         "id",
         (F.col("id") % 7).alias("k"),
-        F.md5(F.col("id").cast("string")).alias("s"),
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("id").cast("string"))),
+                             r"\s+", " ")
+        ).alias("s"),
     )
     _small = spark.range(7).select(F.col("id").alias("k"), F.lit(1).alias("v"))
     (
@@ -86,6 +89,24 @@ def main() -> None:
         .groupBy("k")
         .agg(F.sum("rn").alias("x"))
         .orderBy("x")
+    ).write.format("noop").mode("overwrite").save()
+    # ...and the object-agg pair-expansion composition (collect_list ->
+    # sorted-array posexplode -> slice explode -> re-agg), the cold
+    # shape of the dedup/contamination family.
+    (
+        _base.groupBy("k")
+        .agg(F.collect_list(F.struct("id")).alias("ms"))
+        .select(F.array_sort("ms").alias("_ms"))
+        .select(F.posexplode("_ms").alias("i", "x"), "_ms")
+        .select(
+            F.col("x.id").alias("a"),
+            F.explode(
+                F.slice("_ms", F.col("i") + 2,
+                        F.size("_ms") - F.col("i") - 1)
+            ).alias("y"),
+        )
+        .groupBy("a", F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
     ).write.format("noop").mode("overwrite").save()
 
     # Warm the Structured Streaming machinery (StreamExecution, state

