@@ -93,7 +93,10 @@ def test_scale_path_matches_broadcast_path(spark, monkeypatch):
     from open_rust_timeseries_db_spark.queries import all_queries
 
     qs = all_queries()
-    names = ("q_minhash_jaccard", "q_dedup_near", "q_simhash", "q_ngram_jaccard")
+    # q_contamination shares the same gate: broadcast train-shingle
+    # dictionary when small, grouped single-shuffle shape at scale.
+    names = ("q_minhash_jaccard", "q_dedup_near", "q_simhash",
+             "q_ngram_jaccard", "q_contamination")
     small = {
         n: {tuple(r) for r in qs[n].fn(spark, SF_DIR).collect()} for n in names
     }
