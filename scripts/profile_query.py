@@ -57,22 +57,22 @@ def main() -> None:
         warmup(spark)
         tracker = spark.sparkContext.statusTracker()
         rows = []
+        jobs = []
         for pass_i in range(2):
             j0 = len(tracker.getJobIdsForGroup(None) or [])
-            # job ids are global; count all jobs regardless of group
-            all_j0 = tracker.getActiveJobsIds()
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             dt = time.perf_counter() - t0
             rows.append(round(dt, 3))
-        # job count via the Java status store (all jobs this app)
-        try:
-            n_jobs = spark._jsc.sc().statusStore().jobsList(None).size()
-        except Exception:
-            n_jobs = None
-        out[name] = {"cold": rows[0], "warm": rows[1], "jobs_total": n_jobs}
+            jobs.append(len(tracker.getJobIdsForGroup(None) or []) - j0)
+        out[name] = {
+            "cold": rows[0],
+            "warm": rows[1],
+            "jobs_cold": jobs[0],
+            "jobs_warm": jobs[1],
+        }
         print(name, out[name], flush=True)
         spark.stop()
         # clear session-scoped python caches between queries
