@@ -105,6 +105,13 @@ def main() -> None:
         f"== cold: {len(rows) - n_fail_cold} within gate, {n_fail_cold} over"
         f" | warm: {len(rows) - n_fail_warm} within, {n_fail_warm} over =="
     )
+    if bench_path and (bench or {}).get("cache_builds"):
+        print("-- shared-artifact cache builds (charged to their own "
+              "lines, not to queries) --")
+        for bname, sec in sorted((bench or {})["cache_builds"].items()):
+            print(f"{bname:30s} {sec:7.3f}s")
+        print(f"{'cache_build_total':30s} "
+              f"{(bench or {}).get('cache_build_total', 0):7.3f}s")
     print(json.dumps({"duck_total_warm": round(sum(duck_warm.values()), 3)}))
 
     out = {
