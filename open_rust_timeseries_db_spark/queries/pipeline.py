@@ -256,10 +256,6 @@ _BM25_TERMS = ("the", "data", "of")
 )
 def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_rust_timeseries_db_spark.functions.text_kernels import (
-        doc_term_tf_ckpt,
-    )
-
-    from open_rust_timeseries_db_spark.functions.text_kernels import (
         cached_row,
         doc_lengths_ckpt,
         doc_term_tf_ckpt,
