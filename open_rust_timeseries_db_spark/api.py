@@ -131,49 +131,59 @@ class Table:
         row_t = tuple(row)
         t0 = time.perf_counter_ns()
         with self._lock:
-            try:
-                if self._flushing:
+            if self._flushing:
+                return False
+            if len(self._buf) >= self._capacity:
+                if self._overflow == "reject-new":
                     return False
-                if len(self._buf) >= self._capacity:
-                    if self._overflow == "reject-new":
-                        return False
-                    self._buf.popleft()
-                self._buf.append(row_t)
-                return True
-            finally:
-                dt = time.perf_counter_ns() - t0
-                self._w_ns_sum += dt
-                self._n_writes += 1
-                if dt > self._w_ns_max:
-                    self._w_ns_max = dt
+                self._buf.popleft()
+            self._buf.append(row_t)
+            # Latency is recorded for SUCCESSFUL writes only, like the
+            # reference (it times inside the `if write_record(..)`
+            # branch, src/tests/integration_test.rs:180-182); rejected
+            # writes (flushing / reject-new) return above and leave the
+            # stats untouched.
+            dt = time.perf_counter_ns() - t0
+            self._w_ns_sum += dt
+            self._n_writes += 1
+            if dt > self._w_ns_max:
+                self._w_ns_max = dt
+            return True
 
     def read_one_record(self) -> dict[str, Any] | None:
         """Destructive FIFO read; None when empty (at-most-once, like
         try_dequeue — use flush_to_parquet for exactly-once handoff)."""
         t0 = time.perf_counter_ns()
         with self._lock:
-            try:
-                if not self._buf:
-                    return None
-                row = self._buf.popleft()
-            finally:
-                dt = time.perf_counter_ns() - t0
-                self._r_ns_sum += dt
-                self._n_reads += 1
-                if dt > self._r_ns_max:
-                    self._r_ns_max = dt
+            if not self._buf:
+                # Empty reads leave the stats untouched: the reference
+                # records read latency only for non-empty batches
+                # (src/tests/integration_test.rs:234-237).
+                return None
+            row = self._buf.popleft()
+            dt = time.perf_counter_ns() - t0
+            self._r_ns_sum += dt
+            self._n_reads += 1
+            if dt > self._r_ns_max:
+                self._r_ns_max = dt
         return dict(zip(self._fields, row))
 
     def get_stats(self) -> dict[str, float | int | None]:
         """Per-operation ingest latency statistics, in nanoseconds.
 
         Parity with the reference's ``get_stats`` (avg write, avg
-        read, max; src/tests/integration_test.rs:109-120), as a dict:
-        ``avg_write_ns``/``avg_read_ns`` are None until the first
-        operation of that kind (the reference yields None the same
-        way), ``max_ns`` is the max across both op kinds. Latency
-        covers the locked critical section — queueing on the mutex
-        included, as a producer experiences it.
+        read, max; src/tests/integration_test.rs:109-120), as a dict.
+        Only SUCCESSFUL ops are counted — writes that land a record,
+        reads that return one — matching where the reference takes its
+        timestamps (inside the success branches,
+        src/tests/integration_test.rs:180-182, 234-237). One deliberate
+        deviation: before the first op of a kind,
+        ``avg_write_ns``/``avg_read_ns`` are None here, where the
+        reference's 0/0 division yields Some(NaN) — None is the same
+        "no data yet" signal without NaN's contagion. ``max_ns`` is the
+        max across both op kinds. Latency covers the locked critical
+        section — queueing on the mutex included, as a producer
+        experiences it.
         """
         with self._lock:
             return {

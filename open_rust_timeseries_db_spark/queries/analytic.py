@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from open_rust_timeseries_db_spark.queries.helpers import events_us, sql_dsum
+from open_rust_timeseries_db_spark.queries.helpers import (
+    events_us,
+    fx_resum,
+    sql_dsum,
+)
 from open_rust_timeseries_db_spark.queries.registry import DEC, query
 from open_rust_timeseries_db_spark.sources.catalog import load_table
 
@@ -101,9 +105,12 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_rust_timeseries_db_spark.queries.helpers import _scaled_long
 
     li = load_table(spark, sf_dir, "lineitem")
-    # Fixed-point BIGINT partials (see q_rollup_revenue): same values
-    # as the DECIMAL accumulator, none of its per-row allocation cost.
-    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+    # Fixed-point BIGINT partials per (group, split) — pid-keyed so no
+    # partial can wrap BIGINT at any scale — DECIMAL re-summed in the
+    # cube phase (see q_rollup_revenue / helpers.fx_resum).
+    base = li.groupBy(
+        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("pid")
+    ).agg(
         F.count(F.lit(1)).alias("pn"),
         F.sum(
             _scaled_long(
@@ -114,7 +121,7 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
         F.sum("pn").alias("n"),
-        (F.sum("pr_fx").cast("double") / F.lit(1e6)).alias("revenue"),
+        fx_resum("pr_fx").alias("revenue"),
     )
 
 
@@ -135,13 +142,28 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # Two-phase through the SQL surface, same overflow-safe shape as the
+    # DataFrame rollup/cube twins: BIGINT micro-unit partials per
+    # (status, priority, spark_partition_id()) — bounded by one input
+    # split, and the grouping-sets expansion multiplies the tiny partial
+    # table instead of the raw scan — then an exact DECIMAL(38,0)
+    # re-sum whose grand-total row can't wrap at any scale.
     return spark.sql(
-        f"""
+        """
+        WITH part AS (
+          SELECT o_orderstatus, o_orderpriority,
+                 spark_partition_id() AS pid,
+                 COUNT(*) AS pn,
+                 SUM(CAST(FLOOR(o_totalprice*1000000 + 0.5) AS BIGINT))
+                   AS ps_fx
+          FROM orders
+          GROUP BY 1, 2, 3
+        )
         SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(FLOOR(o_totalprice*1000000 + 0.5) AS BIGINT))
+               SUM(pn) AS n,
+               CAST(SUM(CAST(ps_fx AS DECIMAL(38,0)))
                     AS DOUBLE)/1000000.0 AS sum_price
-        FROM orders
+        FROM part
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
@@ -177,7 +199,11 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts_us",
-        # Fixed-point frame sum — see q_moving_avg's rationale.
+        # Fixed-point frame sum — see q_moving_avg's rationale. The
+        # RANGE frame is time-bounded (5 min), not row-bounded: BIGINT
+        # holds ~9.2e12 in value units per frame, so this wraps only if
+        # a single key ticks >~1e10 rows within 5 minutes — document as
+        # the operating bound rather than pay DECIMAL per frame slide.
         (
             F.sum(_scaled_long(F.col("value"))).over(w).cast("double")
             / F.lit(1e6)
@@ -226,8 +252,11 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second-phase re-sum, like the DECIMAL partials they replace, but
     # whole-stage-codegen fast (the DECIMAL accumulator allocates a
     # BigDecimal per row — ~5x slower over the full events scan; see
-    # helpers.dsum). Final conversion is one CAST(S AS DOUBLE)/1e6.
-    buckets = ev.groupBy(slide).agg(
+    # helpers.dsum). pid-keyed so no partial outgrows one input split
+    # (a hot 1-minute bucket can hold unbounded rows at scale); the
+    # window re-aggregation below merges partials in DECIMAL
+    # (helpers.fx_resum), overflow-free at any volume.
+    buckets = ev.groupBy(slide, F.spark_partition_id().alias("pid")).agg(
         F.count(F.lit(1)).alias("bn"),
         F.sum(_scaled_long(F.col("value"))).alias("bsum_fx"),
     )
@@ -247,9 +276,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         expanded.groupBy(win_start.alias("win_start_us"))
         .agg(
             F.sum("bn").alias("n"),
-            (F.sum("bsum_fx").cast("double") / F.lit(1e6)).alias(
-                "sum_value"
-            ),
+            fx_resum("bsum_fx").alias("sum_value"),
         )
         .select(
             "win_start_us",

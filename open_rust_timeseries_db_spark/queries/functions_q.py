@@ -116,17 +116,26 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    from open_rust_timeseries_db_spark.queries.helpers import _scaled_long
+    from open_rust_timeseries_db_spark.queries.helpers import (
+        _scaled_long,
+        fx_resum,
+    )
 
-    # Fixed-point BIGINT accumulation per cell (same values as the
-    # DECIMAL accumulator, no per-row BigDecimal; see helpers.dsum).
+    # Two-phase, overflow-safe (see q_rollup_revenue): fixed-point
+    # BIGINT partials per (priority, status, split) — the pid key adds
+    # no shuffle volume and bounds each partial by one input split —
+    # then pivot the tiny partial table with an exact DECIMAL re-sum
+    # per cell, so a hot (priority, status) cell can't wrap BIGINT at
+    # any scale.
+    partials = orders.groupBy(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.spark_partition_id().alias("pid"),
+    ).agg(F.sum(_scaled_long(F.col("o_totalprice"))).alias("ps_fx"))
     pivoted = (
-        orders.groupBy("o_orderpriority")
+        partials.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(
-            F.sum(_scaled_long(F.col("o_totalprice"))).cast("double")
-            / F.lit(1e6)
-        )
+        .agg(fx_resum("ps_fx"))
     )
     return pivoted.select(
         "o_orderpriority",

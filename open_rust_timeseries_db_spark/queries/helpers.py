@@ -82,12 +82,37 @@ def dsum(col: Column | str) -> Column:
     decimal->double cast past 2^53.)
 
     Scale note: the BIGINT sum holds value-sums up to 2^63/1e6 ~ 9.2e12
-    per group — fine to ~1e11 rows of monetary data per group. Beyond
-    that, accumulate per-partition longs and merge the partials in
-    decimal; the per-row fast path is unchanged.
+    per group — fine to ~1e11 rows of monetary data per group. Past
+    that (a lineitem grand-total row crosses it around sf40-100), use
+    the two-phase shape the rollup/cube/pivot family implements: BIGINT
+    partials per (group, spark_partition_id()) — bounded by one input
+    split, so overflow-free at ANY total scale — re-summed with
+    :func:`fx_resum`'s DECIMAL accumulator over the tiny partial table.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(_scaled_long(c)).cast("double") / F.lit(1_000_000.0)
+
+
+def fx_resum(col: Column | str) -> Column:
+    """Overflow-safe phase-2 merge of fixed-point BIGINT partials.
+
+    Companion to :func:`dsum` for two-phase aggregates (rollup / cube /
+    pivot / grouping sets / sliding windows): phase 1 sums per-row
+    micro-unit longs per (fine group, ``spark_partition_id()``) — the
+    pid key costs nothing (constant within a task, so map-side partial
+    aggregation emits exactly the same row volume as without it) and
+    bounds each partial by ONE input split (~128 MB => at most ~4e17
+    micro-units per partial, 20x under the 2^63 wrap), independent of
+    total data volume. Phase 2 re-sums the tiny partial table here as
+    DECIMAL(38,0) — exact integer arithmetic with ~1e19 headroom of
+    maxed-out partials, one BigDecimal op per PARTIAL instead of per
+    input row. The final CAST(exact integer AS DOUBLE)/1e6 is the same
+    correctly-rounded IEEE conversion as dsum's, so results are
+    bit-identical to the oracle's single-phase BIGINT sum wherever that
+    sum doesn't overflow, and still correct where it would.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(38,0)")).cast("double") / F.lit(1_000_000.0)
 
 
 def davg(col: Column | str) -> Column:

@@ -312,11 +312,21 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-doc sum of <= 3 doubles is still order-sensitive in IEEE;
     # the fixed-point floor(x*1e12) BIGINT fold makes the accumulation
     # exact on both engines (same scheme as functions/vectors.py).
+    # dl is doc-count-sized (one skinny ~32-byte row per doc): hint the
+    # broadcast explicitly when it fits the byte gate — stats-derived
+    # auto-broadcast left this as a two-sided shuffle join on cold
+    # plans — but fall back to the shuffle join past the cutover, like
+    # every other small-side cutover here (operators/dedupe): a
+    # per-document table is corpus-sized and can NOT ship to every
+    # executor at 100 TB. n_docs is already memoized (cached_row above),
+    # so the gate costs zero extra jobs.
+    from open_rust_timeseries_db_spark.operators.dedupe import (
+        _broadcast_fits,
+    )
+
+    dl_side = F.broadcast(dl) if _broadcast_fits(n_docs, 32) else dl
     scored = (
-        # dl is doc-count-sized (one skinny row per doc): broadcast it
-        # explicitly — relying on stats-derived auto-broadcast left
-        # this as a two-sided shuffle join on cold plans.
-        tf.join(F.broadcast(dl), "doc_id")
+        tf.join(dl_side, "doc_id")
         .groupBy("doc_id")
         .agg(
             (

@@ -19,6 +19,7 @@ from open_rust_timeseries_db_spark.queries.helpers import (
     davg,
     dsum,
     events_us,
+    fx_resum,
     sql_davg,
     sql_dsum,
 )
@@ -296,11 +297,17 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input rows by the number of sets BEFORE partial aggregation, so
     # rolling up raw lineitem triples the scanned-row volume; rolling up
     # the per-(flag,status) partials is free and exact. Partials are
-    # fixed-point BIGINT micro-units (identical values to the DECIMAL
-    # accumulator they replace — same per-row half-up rounding, exact
-    # integer re-sum — minus its per-row BigDecimal allocation; see
-    # helpers.dsum), matching the oracle's sql_dsum construction.
-    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+    # fixed-point BIGINT micro-units keyed additionally by
+    # spark_partition_id() — constant within a task, so map-side
+    # partial aggregation emits the same row volume as without it, but
+    # each partial is bounded by one input split and cannot wrap BIGINT
+    # at any total scale. The rollup phase re-sums the tiny partial
+    # table in DECIMAL (helpers.fx_resum), so the grand-total row stays
+    # exact past the ~sf40 point where a single-phase BIGINT sum
+    # silently overflows.
+    base = li.groupBy(
+        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("pid")
+    ).agg(
         F.count(F.lit(1)).alias("pn"),
         F.sum(_scaled_long(F.col("l_quantity"))).alias("pq_fx"),
         F.sum(
@@ -311,8 +318,8 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.rollup("l_returnflag", "l_linestatus").agg(
         F.sum("pn").alias("n"),
-        (F.sum("pq_fx").cast("double") / F.lit(1e6)).alias("sum_qty"),
-        (F.sum("pr_fx").cast("double") / F.lit(1e6)).alias("revenue"),
+        fx_resum("pq_fx").alias("sum_qty"),
+        fx_resum("pr_fx").alias("revenue"),
     )
 
 
@@ -351,7 +358,9 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         # Fixed-point window sum: same per-row half-up rounding and
         # exact integer accumulation as the DECIMAL frame it replaces,
-        # without a BigDecimal allocation per frame slide.
+        # without a BigDecimal allocation per frame slide. Overflow-safe
+        # by the FRAME bound (7 rows max => |sum| < 7 * 9e15 << 2^63),
+        # unlike the group sums, which need the two-phase fx_resum shape.
         (
             F.sum(_scaled_long(F.col("value"))).over(w).cast("double")
             / F.lit(1e6)

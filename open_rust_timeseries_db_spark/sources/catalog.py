@@ -168,9 +168,9 @@ def _file_schema(path: str) -> T.StructType:
     """The Spark read schema for a parquet path, from the footer via
     pyarrow instead of Spark's inference job.
 
-    Equivalent to what ``spark.read.parquet`` infers (verified field-
-    by-field for every testdata table) but ~5-60x faster per first
-    load: pyarrow's footer read is ~2 ms in-process, while Spark's
+    Equivalent to what ``spark.read.parquet`` infers (pinned field-by-
+    field for every testdata table by tests/test_catalog.py) but
+    ~5-60x faster per first load: pyarrow's footer read is ~2 ms in-process, while Spark's
     inference spins a JVM job (~0.1-1.4 s on a cold session).
     TIMESTAMP(NANOS) maps to LongType — the same shape the
     ``nanosAsLong`` conf (set in ``_ensure_read_confs``) makes Spark's
@@ -206,7 +206,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.schema(_file_schema(path)).parquet(path)
+    try:
+        df = spark.read.schema(_file_schema(path)).parquet(path)
+    except Exception:
+        # pyarrow can't resolve the footer (e.g. a Spark-written
+        # DIRECTORY table, where pq.read_schema(path) raises, or an
+        # arrow type from_arrow_type can't map): fall back to Spark's
+        # own inference — slower on first load, always correct.
+        df = spark.read.parquet(path)
     declared = [f.name for f in TABLES[name].fields]
     missing = set(declared) - set(df.columns)
     if missing:

@@ -252,9 +252,17 @@ def test_get_stats_contract(spark):
     assert s2["max_ns"] == max(s2["max_write_ns"], s2["max_read_ns"])
     # avg/max are running aggregates: max never below avg, monotone counts.
     assert s2["n_writes"] == 5
-    # Reads on empty still count as read attempts (the op ran).
+    # Successful-op-only accounting, like the reference (it records
+    # read latency only for non-empty batches,
+    # src/tests/integration_test.rs:234-237): an empty read is not a
+    # counted op, and a rejected write (capacity, reject-new) isn't
+    # either.
     while t.read_one_record() is not None:
         pass
     n_after_drain = t.get_stats()["n_reads"]
-    t.read_one_record()
-    assert t.get_stats()["n_reads"] == n_after_drain + 1
+    t.read_one_record()  # empty: must NOT count
+    assert t.get_stats()["n_reads"] == n_after_drain
+    tiny = Table(spark, "stats_tiny", MARKET_SCHEMA, capacity=1)
+    assert tiny.write_record(_tick(0, 0))
+    assert not tiny.write_record(_tick(0, 1))  # rejected: must NOT count
+    assert tiny.get_stats()["n_writes"] == 1
