@@ -145,6 +145,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "c_emb",
+    carry_vec: bool = False,
 ):
     """Assign every vector to its nearest centroid (max cosine, ties to
     the smallest centroid id) in ONE mapInPandas pass.
@@ -171,13 +172,18 @@ def ivf_assign(
     order = np.argsort(c_ids, kind="stable")
     c_ids, c_mat, c_den = c_ids[order], c_mat[order], c_den[order]
 
-    out_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("centroid_id", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
+    fields = [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("centroid_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+    if carry_vec:
+        # Carry the vector through the index build so consumers that
+        # need coordinates (probe search, Lloyd update, semantic dedup)
+        # read them straight off the cached assignment instead of
+        # re-joining the corpus table per invocation.
+        fields.append(T.StructField(vec_col, emb.schema[vec_col].dataType))
+    out_schema = T.StructType(fields)
 
     def assign(batches):
         for pdf in batches:
@@ -201,13 +207,14 @@ def ivf_assign(
                 k = np.argmax(cos, axis=1)
                 best_id[lo:hi] = c_ids[k]
                 best_cos[lo:hi] = cos[np.arange(hi - lo), k]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pd.Series(ids, dtype="int64"),
-                    "centroid_id": pd.Series(best_id, dtype="int64"),
-                    "cosine": pd.Series(best_cos, dtype="float64"),
-                }
-            )
+            out = {
+                "vec_id": pd.Series(ids, dtype="int64"),
+                "centroid_id": pd.Series(best_id, dtype="int64"),
+                "cosine": pd.Series(best_cos, dtype="float64"),
+            }
+            if carry_vec:
+                out[vec_col] = pdf[vec_col].reset_index(drop=True)
+            yield pd.DataFrame(out)
 
     return emb.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
@@ -399,6 +406,108 @@ def ivf_probe_search(
             )
 
     return emb.select(id_col, vec_col).mapInPandas(search, out_schema)
+
+
+def ivf_probe_search_cached(
+    assigned,
+    centroids,
+    queries,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "centroid_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "c_emb",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_emb",
+):
+    """IVF probe search over the CACHED assignment index.
+
+    Same probe selection and scoring arithmetic as
+    :func:`ivf_probe_search`, but the per-vector nearest-centroid
+    assignment — ~C/nprobe of that kernel's math — is read from the
+    session-cached index (``assigned``: id, cell, vector) instead of
+    recomputed per invocation. The cell filter is a JVM ``isin`` over
+    the cached blocks, so only probed cells' members cross the Arrow
+    boundary at all: per query invocation the scored row count is
+    nprobe * N / n_cells, the true IVF work shape at any corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cent_rows = _driver_rows(centroids, centroid_id_col, centroid_vec_col)
+    c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    c_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    order = np.argsort(c_ids, kind="stable")
+    c_ids, c_mat = c_ids[order], c_mat[order]
+    c_n2 = np.floor(c_mat * c_mat * FX_SCALE).astype(np.int64).sum(axis=1)
+    c_den = np.sqrt(c_n2 / FX_SCALE)
+
+    q_rows = _driver_rows(queries, query_id_col, query_vec_col)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_n2 = np.floor(q_mat * q_mat * FX_SCALE).astype(np.int64).sum(axis=1)
+    q_den = np.sqrt(q_n2 / FX_SCALE)
+
+    prods = q_mat[:, None, :] * c_mat[None, :, :]
+    dots = np.floor(prods * FX_SCALE).astype(np.int64).sum(axis=2)
+    qc_cos = (dots / FX_SCALE) / (q_den[:, None] * c_den[None, :])
+    probed_by: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        top = np.lexsort((np.arange(len(c_ids)), -qc_cos[qi]))[:nprobe]
+        for ci in top:
+            probed_by.setdefault(int(c_ids[ci]), []).append(qi)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cell = pdf[cell_col].to_numpy()
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n2 = np.floor(mat * mat * FX_SCALE).astype(np.int64).sum(axis=1)
+            den = np.sqrt(n2 / FX_SCALE)
+            qs_out, ns_out, cs_out = [], [], []
+            for qi in range(len(q_ids)):
+                probe_cells = [c for c, qs in probed_by.items() if qi in qs]
+                mask = np.isin(cell, probe_cells) & (ids != q_ids[qi])
+                if not mask.any():
+                    continue
+                c_ids_m, c_vecs = ids[mask], mat[mask]
+                c_dens = den[mask]
+                d = np.floor(c_vecs * q_mat[qi] * FX_SCALE).astype(np.int64).sum(axis=1)
+                cos = (d / FX_SCALE) / (c_dens * q_den[qi])
+                top = np.lexsort((c_ids_m, -cos))[:k]
+                qs_out.append(np.full(len(top), q_ids[qi], dtype=np.int64))
+                ns_out.append(c_ids_m[top])
+                cs_out.append(cos[top])
+            if not qs_out:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(np.concatenate(qs_out), dtype="int64"),
+                    "neighbor_id": pd.Series(np.concatenate(ns_out), dtype="int64"),
+                    "cosine": pd.Series(np.concatenate(cs_out), dtype="float64"),
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    cand = assigned.filter(
+        F.col(cell_col).isin(*[int(c) for c in probed_by])
+    ).select(id_col, cell_col, vec_col)
+    return cand.mapInPandas(score, out_schema)
 
 
 def blocked_neardup(

