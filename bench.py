@@ -126,6 +126,52 @@ def main() -> None:
         .agg(F.sum("rn").alias("x"))
         .orderBy("x")
     ).write.format("noop").mode("overwrite").save()
+    # ...the heavy expression families on synthetic rows — fixed-point
+    # floor() aggregation (every monetary rollup), the regexp/string
+    # kernel shapes (quality/scrub census), moments (var/corr), md5/conv
+    # sharding, and a 3-row recursive CTE (UnionLoop machinery): each
+    # compiles per-expression codegen units + loads operator classes
+    # once per session, which otherwise lands on whichever query of the
+    # class runs first alphabetically (measured: q_pricing_summary
+    # 2.6 s cold vs 0.45 s warm, q_quality_score 2.7 s vs 0.16 s —
+    # almost entirely this one-time cost, not query work).
+    _fx = spark.range(2000).select(
+        "id",
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") * 1.0001).alias("x"),
+        (F.col("id") * 0.37).alias("y"),
+        F.concat(F.lit("w"), (F.col("id") % 9).cast("string")).alias("s"),
+    )
+    (
+        _fx.groupBy("g")
+        .agg(
+            F.count(F.lit(1)),
+            F.sum(F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5))),
+            F.sum(F.floor((F.col("x") * (F.lit(1) - F.col("y"))) * F.lit(1e6) + F.lit(0.5))),
+            F.avg("x"),
+            F.var_samp("x"),
+            F.corr("x", "y"),
+            F.min("s"),
+            F.max("y"),
+        )
+    ).write.format("noop").mode("overwrite").save()
+    (
+        _fx.select(
+            F.regexp_count("s", F.lit(r"[0-9]")).alias("rc"),
+            F.regexp_extract("s", r"(\d+)", 1).alias("re"),
+            F.length(F.regexp_replace("s", r"\s+", " ")).alias("rr"),
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).alias("cv"),
+            F.split("s", " ").alias("sp"),
+        )
+    ).write.format("noop").mode("overwrite").save()
+    spark.sql(
+        """
+        WITH RECURSIVE r(n) AS (
+          SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 3
+        )
+        SELECT SUM(n) FROM r
+        """
+    ).write.format("noop").mode("overwrite").save()
     # ...and the object-agg pair-expansion composition (collect_list ->
     # sorted-array posexplode -> slice explode -> re-agg), the cold
     # shape of the dedup/contamination family.
@@ -162,6 +208,47 @@ def main() -> None:
     )
     run_available_now_to_memory(spark, warm_stream, mode="complete",
                                 state_partitions=2)
+    # ...and the file-source + event-time operator shapes on a 200-row
+    # scratch table: the parquet stream source (file index, schema
+    # binding), the time-window and session-window stateful execs, and
+    # the watermark machinery each load/JIT their own classes, which
+    # otherwise land on the FIRST q_stream_* to use them (measured:
+    # first windowed drain pays ~2x its steady addBatch +
+    # queryPlanning). Generic operator warmup over synthetic data —
+    # not any registered query's plan.
+    import tempfile
+
+    _warm_dir = tempfile.mkdtemp(prefix="sg_stream_warm_")
+    spark.range(200).select(
+        "id",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000
+        ).alias("tsq"),
+    ).write.mode("overwrite").parquet(_warm_dir + "/t")
+    _ws = spark.readStream.schema("id long, tsq timestamp").parquet(
+        _warm_dir + "/t"
+    )
+    run_available_now_to_memory(
+        spark,
+        _ws.withWatermark("tsq", "1 minute")
+        .groupBy(F.window("tsq", "1 minute"))
+        .count(),
+        mode="complete",
+        state_partitions=2,
+    )
+    run_available_now_to_memory(
+        spark,
+        _ws.withWatermark("tsq", "1 minute")
+        # session_window needs a grouping key (no global session agg)
+        # and an append/update sink.
+        .groupBy(
+            (F.col("id") % 2).alias("k"),
+            F.session_window("tsq", "30 seconds"),
+        )
+        .count(),
+        mode="append",
+        state_partitions=2,
+    )
 
     # Two timed passes. "queries" reports the per-query MIN (warm
     # steady state: pass 1 additionally pays one-time JIT/codegen
