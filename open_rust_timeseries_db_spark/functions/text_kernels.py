@@ -678,12 +678,24 @@ def shingle_hashes_ckpt(
 ) -> DataFrame:
     """Materialized (checkpointed, session-cached) exploded shingle
     table — use when the output feeds a self-join or several consumers."""
-    # Partitioned by shingle id: the grouped (scale-path) pair
+    # DERIVED, not re-tokenized: the 16-perm shingle profile already
+    # carries each doc's distinct shingle-id array (hs) and n_sh — the
+    # exploded table is one JVM explode of those cached blocks, saving
+    # a full tokenize+hash corpus pass per session (and per scan at
+    # 100 TB: the profile is the one kernel read; everything shingle-
+    # shaped derives from it). The ids switch from the standalone
+    # kernel's siphash-poly family to the profile's md5-64 family —
+    # both are internal join/intersect keys only (never surfaced,
+    # never mixed across families), so any injective id works;
+    # shingle_hashes_pd remains the standalone (property-tested)
+    # kernel. Partitioned by shingle id: the grouped (scale-path) pair
     # expansion groups by hs with no exchange; the broadcast path
     # probes and is indifferent.
+    full = shingle_profile_ckpt(docs, id_col, text_col, n, len(MH_AB))
+    exploded = full.select("id", "n_sh", F.explode("hs").alias("hs"))
     return _cached_ckpt(
         docs,
-        shingle_hashes_pd(docs, id_col, text_col, n),
+        exploded,
         ("hashes", id_col, text_col, n),
         part_by=("hs",),
     )
@@ -696,7 +708,22 @@ def shingle_profile_ckpt(
     n: int = 3,
     n_perms: int = 0,
 ) -> DataFrame:
-    """Materialized per-document shingle profile (see shingle_profile_pd)."""
+    """Materialized per-document shingle profile (see shingle_profile_pd).
+
+    A k-perm profile with 0 < k < len(MH_AB) is DERIVED from the full
+    16-perm profile, not re-tokenized: the affine families are prefix-
+    nested (MH_AB[:k] is exactly the k-perm family), so sigs[:k] of the
+    full profile IS the k-perm signature vector. One corpus kernel pass
+    serves every permutation count.
+    """
+    if 0 < n_perms < len(MH_AB):
+        full = shingle_profile_ckpt(docs, id_col, text_col, n, len(MH_AB))
+        derived = full.select(
+            "id", "n_sh", "hs", F.slice("sigs", 1, n_perms).alias("sigs")
+        )
+        return _cached_ckpt(
+            docs, derived, ("profile", id_col, text_col, n, n_perms)
+        )
     return _cached_ckpt(
         docs,
         shingle_profile_pd(docs, id_col, text_col, n, n_perms),

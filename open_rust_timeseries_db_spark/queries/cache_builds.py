@@ -80,16 +80,18 @@ def cache_builders(
         "lm_scored_bigrams": lambda: cached_count(
             lm_scored_bigrams_ckpt(docs)
         ),
-        # shingle family: exact/ngram jaccard, contamination.
-        "shingle_hashes": lambda: cached_count(shingle_hashes_ckpt(docs)),
-        # minhash profiles: production 16-perm (q_dedup_near) and the
-        # 8-perm reference construction (q_minhash_jaccard).
+        # shingle family: ONE kernel pass (the 16-perm profile); the
+        # 8-perm profile (prefix-nested affine family) and the exploded
+        # shingle table (explode of the profile's hs array) DERIVE from
+        # it — ordered parent-first so each line times only its own
+        # incremental build.
         "minhash_profile_16": lambda: cached_count(
             shingle_profile_ckpt(docs, n_perms=MINHASH_PERMS)
         ),
         "minhash_profile_8": lambda: cached_count(
             shingle_profile_ckpt(docs, n_perms=_MH_PERMS)
         ),
+        "shingle_hashes": lambda: cached_count(shingle_hashes_ckpt(docs)),
         "simhash_sigs": lambda: cached_count(simhash_signatures_ckpt(docs)),
         "winnow_fp": lambda: cached_count(
             winnow_fp_ckpt(docs, n=3, w=_WINNOW_W)
