@@ -98,16 +98,17 @@ def main() -> None:
             "both phases; forced = BROADCAST_MAX_BYTES=0 + "
             "DRIVER_CC_MAX_EDGES=0 (grouped inline-expansion pair "
             "generation, distributed min-label-propagation CC). "
-            "Adjudication of the one >2x row (q_ngram_jaccard, dense "
-            "shared-shingle pair stream ~1.3M pairs): the gap is the "
-            "broadcast probe's fused join+partial-agg codegen stage, "
-            "which the grouped path trades for ObjectHashAggregate "
-            "collect + explode; the two shuffled self-join "
-            "alternatives (shuffle_hash, merge hints) were measured "
-            "WORSE (2.3-2.7 s vs grouped 2.2 s at sf0.1), so the "
-            "grouped shape stands as the scale path - at 100 TB the "
-            "broadcast side cannot exist and the grouped path's one "
-            "corpus shuffle beats the self-join's two."
+            "Rows at ~2x (q_ngram_jaccard, q_dedup_near): the gap is "
+            "the broadcast probe's fused join+partial-agg stage, which "
+            "the grouped path trades for ObjectHashAggregate collect + "
+            "explode; the two shuffled self-join alternatives "
+            "(shuffle_hash, merge hints) were measured WORSE at sf0.1, "
+            "so the grouped shape stands as the scale path - at 100 TB "
+            "the broadcast side cannot exist and the grouped path's "
+            "one corpus shuffle beats the self-join's two. The sf1 "
+            "tier CONFIRMS the crossover empirically: there the "
+            "grouped path is 2-5x FASTER than broadcasting the 125 MB "
+            "shingle side (see operators/dedupe.BROADCAST_MAX_BYTES)."
         ),
         "queries": {
             name: {
