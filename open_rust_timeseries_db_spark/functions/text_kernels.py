@@ -574,6 +574,110 @@ _DOC_BIGRAM_SCHEMA = T.StructType(
     ]
 )
 
+_DOC_GRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("kind", T.IntegerType()),  # 1 = unigram, 2 = bigram
+        T.StructField("gram", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def doc_gram_counts_pd(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram AND bigram counts in ONE Arrow pass:
+    (id, kind, gram, n), kind 1 = token, kind 2 = bigram.
+
+    Fuses what used to be two separate corpus reads — a JVM
+    explode+hash-agg for the (doc, term, tf) table and the
+    doc_bigram_counts kernel — into a single tokenization: the flat
+    token array per batch feeds both the (doc, token) histogram and the
+    shifted-concat bigram histogram. At 100 TB this is one corpus scan
+    feeding the whole term-frequency AND language-model family.
+
+    Tokenization is the engine-wide contract (single-space split, drop
+    empties — identical to the JVM ``functions.text.tokens`` path and
+    the DuckDB ``list_filter(string_split(...))`` oracle), so counts are
+    bit-identical to both formulations it replaces.
+    """
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id": pd.Series([], dtype="int64"),
+                "kind": pd.Series([], dtype="int32"),
+                "gram": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tok_lists = [_toks(t) for t in pdf[text_col]]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            flat = np.array(
+                [w for toks in tok_lists for w in toks], dtype=object
+            )
+            if not len(flat):
+                yield empty
+                continue
+            doc_of_tok = np.repeat(pdf[id_col].to_numpy(dtype=np.int64), lens)
+            uni = (
+                pd.DataFrame({"id": doc_of_tok, "gram": flat})
+                .groupby(["id", "gram"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            uni["kind"] = np.int32(1)
+            frames = [uni]
+            if len(flat) >= 2:
+                doc_of = doc_of_tok[:-1]
+                pairs = pd.Series(flat[:-1]) + " " + pd.Series(flat[1:])
+                valid = np.ones(len(flat) - 1, dtype=bool)
+                ends = np.cumsum(lens)
+                boundary = ends[:-1][ends[:-1] < len(flat)] - 1
+                valid[boundary[boundary >= 0]] = False
+                bi = (
+                    pd.DataFrame(
+                        {"id": doc_of[valid], "gram": pairs[valid].to_numpy()}
+                    )
+                    .groupby(["id", "gram"], sort=False)
+                    .size()
+                    .reset_index(name="n")
+                )
+                bi["kind"] = np.int32(2)
+                frames.append(bi)
+            out = pd.concat(frames, ignore_index=True)
+            yield out[["id", "kind", "gram", "n"]].astype(
+                {"id": "int64", "kind": "int32", "n": "int64"}
+            )
+
+    return _kernel_input(docs, id_col, text_col).mapInPandas(
+        gen, _DOC_GRAM_SCHEMA
+    )
+
+
+def doc_gram_counts_ckpt(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Session-cached fused (id, kind, gram, n) table — the single
+    corpus tokenization behind doc_term_tf_ckpt AND
+    doc_bigram_counts_ckpt. Partitioned by doc so both derived views
+    inherit exchange-free per-doc rollups."""
+    return _cached_ckpt(
+        docs,
+        doc_gram_counts_pd(docs, id_col, text_col),
+        ("doc_gram", id_col, text_col),
+        part_by=("id",),
+    )
+
 
 def doc_bigram_counts_pd(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -639,15 +743,18 @@ def doc_bigram_counts_ckpt(
 ) -> DataFrame:
     """Session-cached per-document bigram counts (see
     doc_bigram_counts_pd)."""
-    # Partitioned by doc: the LM-score and repetition-ratio per-doc
+    # DERIVED from the fused doc-gram kernel (one tokenization pass
+    # shared with the term-frequency family); inherits the parent's
+    # id partitioning, so the LM-score and repetition-ratio per-doc
     # rollups elide their exchange (the broadcast LM join in between
     # preserves the probe side's partitioning).
-    return _cached_ckpt(
-        docs,
-        doc_bigram_counts_pd(docs, id_col, text_col),
-        ("doc_bigram", id_col, text_col),
-        part_by=("id",),
+    # doc_bigram_counts_pd remains the standalone (property-tested)
+    # single-output kernel.
+    grams = doc_gram_counts_ckpt(docs, id_col, text_col)
+    db = grams.filter(F.col("kind") == 2).select(
+        "id", F.col("gram").alias("bigram"), "n"
     )
+    return _cached_ckpt(docs, db, ("doc_bigram", id_col, text_col))
 
 
 def winnow_fp_ckpt(
@@ -758,18 +865,18 @@ def doc_term_tf_ckpt(
     (round-2 verdict's biggest mid-weight offender: q_bm25_rank 32.6x).
     One materialization per session now feeds them all.
     """
-    from open_rust_timeseries_db_spark.functions.text import tokens
-
-    toks = spread_scan(docs).select(
-        id_col, F.explode(tokens(text_col)).alias("tok")
+    # DERIVED from the fused doc-gram kernel (one tokenization pass
+    # shared with the bigram family); the filter+rename over the
+    # id-partitioned parent preserves its partitioning, so the per-doc
+    # rollups (token diversity, BM25 scoring agg) and the per-doc
+    # top-k window (TF-IDF) all elide their exchange on cached blocks.
+    grams = doc_gram_counts_ckpt(docs, id_col, text_col)
+    tf = grams.filter(F.col("kind") == 1).select(
+        F.col("id").alias(id_col),
+        F.col("gram").alias("tok"),
+        F.col("n").alias("tf"),
     )
-    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    # Partitioned by doc: the per-doc rollups (token diversity, BM25
-    # scoring agg) and the per-doc top-k window (TF-IDF) all elide
-    # their exchange on the cached blocks.
-    return _cached_ckpt(
-        docs, tf, ("doc_term_tf", id_col, text_col), part_by=(id_col,)
-    )
+    return _cached_ckpt(docs, tf, ("doc_term_tf", id_col, text_col))
 
 
 _BIGRAM_SCHEMA = T.StructType(

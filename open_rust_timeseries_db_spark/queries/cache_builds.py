@@ -46,6 +46,7 @@ def cache_builders(
         bigram_prefix_ckpt,
         cached_count,
         doc_bigram_counts_ckpt,
+        doc_gram_counts_ckpt,
         doc_lengths_ckpt,
         doc_term_tf_ckpt,
         lm_scored_bigrams_ckpt,
@@ -67,6 +68,9 @@ def cache_builders(
     emb = load_table(spark, sf_dir, "embeddings")
 
     builders: dict[str, Callable[[], int]] = {
+        # Fused tokenization: ONE corpus kernel pass feeds both the
+        # term-frequency family and the bigram-LM family below.
+        "doc_gram": lambda: cached_count(doc_gram_counts_ckpt(docs)),
         # (doc, term, tf) family: TF-IDF, BM25, token diversity.
         "doc_term_tf": lambda: cached_count(doc_term_tf_ckpt(docs)),
         "term_df": lambda: cached_count(term_df_ckpt(docs)),

@@ -119,6 +119,12 @@ def test_python_confined_to_designated_operators(spark, qs):
         # per-doc bigram kernel consumers:
         "q_lm_score",
         "q_repetition_ratio",
+        # (doc, term, tf) family — derives from the fused doc-gram
+        # Arrow kernel since round 5 (one tokenization pass shared
+        # with the bigram family, replacing the JVM explode+agg):
+        "q_tfidf_topterms",
+        "q_bm25_rank",
+        "q_token_diversity",
         # winnowing fingerprint kernel consumers:
         "q_winnow_neardup",
         # IVF assignment kernel feeding the Lloyd update hash-agg:
