@@ -36,8 +36,11 @@ _WIN_US = 60_000_000  # 1-minute tumbling windows in epoch-µs
 # overhead — one file+fsync per partition per micro-batch — dominates
 # any wider setting. Streaming state is not AQE-coalesced and the count
 # freezes into the checkpoint, so it is provisioned explicitly per
-# pipeline (see run_available_now_to_memory).
-_STATE_PARTS = 4
+# pipeline (see run_available_now_to_memory). Round-5 A/B at sf0.1:
+# the OHLC drain ran 1.16-1.56 s at 4 partitions vs 1.16-1.24 s at 2
+# (and the session drain 0.80-1.95 vs 0.94-0.97) — 2 is the right
+# provision for ~10k state rows while keeping >1-way state parallelism.
+_STATE_PARTS = 2
 
 
 @query(
