@@ -165,8 +165,17 @@ def _cached_ckpt(
     out: DataFrame,
     key_parts: tuple,
     part_by: tuple[str, ...] | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Session-cache ``out`` once per (session, ``src`` plan, params).
+
+    ``persist=False`` memoizes the DataFrame OBJECT (plan-build py4j
+    cost is still paid once per session) without persisting its blocks:
+    for pure filter/projection children of an already-cached parent,
+    a second persist would hold the gram/shingle data in the session
+    cache twice (round-5 advice) — the narrow view re-reads the
+    parent's cached columnar blocks per consumer, preserves the
+    inherited partitioning, and costs only the filter/project itself.
 
     ``part_by`` hash-partitions the cached blocks on the table's
     dominant downstream grouping/join key before persisting — the
@@ -215,7 +224,7 @@ def _cached_ckpt(
     if part_by:
         n = int(src.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         out = out.repartition(n, *part_by)
-    mat = out.persist()
+    mat = out.persist() if persist else out
     _CKPT_CACHE[key] = mat
     while len(_CKPT_CACHE) > _CKPT_CACHE_MAX:
         _, old = _CKPT_CACHE.popitem(last=False)
@@ -251,8 +260,13 @@ _SIMHASH_SCHEMA = T.StructType(
 )
 
 
-def _toks(text: str) -> list[str]:
+def _toks(text) -> list[str]:
     # Single-space split + drop empties: the one tokenizer, everywhere.
+    # NULL text (None in pandas) tokenizes to no tokens — parity with
+    # the JVM path (F.split on NULL -> NULL -> explode drops the row)
+    # and the DuckDB oracle (list_filter over string_split(NULL)).
+    if not isinstance(text, str):
+        return []
     return [w for w in text.split(" ") if w]
 
 
@@ -754,7 +768,13 @@ def doc_bigram_counts_ckpt(
     db = grams.filter(F.col("kind") == 2).select(
         "id", F.col("gram").alias("bigram"), "n"
     )
-    return _cached_ckpt(docs, db, ("doc_bigram", id_col, text_col))
+    # persist=False: pure filter/projection of the cached doc_gram
+    # parent — persisting it again would double-hold the gram data
+    # (round-5 advice); the view reads the parent's cached blocks and
+    # keeps its id partitioning.
+    return _cached_ckpt(
+        docs, db, ("doc_bigram", id_col, text_col), persist=False
+    )
 
 
 def winnow_fp_ckpt(
@@ -828,8 +848,13 @@ def shingle_profile_ckpt(
         derived = full.select(
             "id", "n_sh", "hs", F.slice("sigs", 1, n_perms).alias("sigs")
         )
+        # persist=False: a pure projection (array slice) of the cached
+        # 16-perm profile — no second copy of the shingle arrays.
         return _cached_ckpt(
-            docs, derived, ("profile", id_col, text_col, n, n_perms)
+            docs,
+            derived,
+            ("profile", id_col, text_col, n, n_perms),
+            persist=False,
         )
     return _cached_ckpt(
         docs,
@@ -876,7 +901,11 @@ def doc_term_tf_ckpt(
         F.col("gram").alias("tok"),
         F.col("n").alias("tf"),
     )
-    return _cached_ckpt(docs, tf, ("doc_term_tf", id_col, text_col))
+    # persist=False: pure filter/projection of the cached doc_gram
+    # parent (see doc_bigram_counts_ckpt).
+    return _cached_ckpt(
+        docs, tf, ("doc_term_tf", id_col, text_col), persist=False
+    )
 
 
 _BIGRAM_SCHEMA = T.StructType(

@@ -74,18 +74,28 @@ def query(
     work INSIDE the build — streaming drains (the drain is the query)
     and iterative driver-side algorithms (connected components) — or a
     repeat invocation would return a stale result without re-running
-    the work. A tag guard enforces this for the streaming family.
+    the work. A tag guard enforces this for BOTH families: any query
+    tagged "streaming" or "iterative" is never memoized, regardless of
+    ``memo_plan`` (round-5 advice: relying on authors remembering
+    ``memo_plan=False`` is a stale-result foot-gun).
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         use_fn = fn
-        if memo_plan and "streaming" not in tags:
+        if memo_plan and not ({"streaming", "iterative"} & set(tags)):
             import os as _os
             from functools import wraps
 
-            plans: dict[tuple, DataFrame] = {}
+            from collections import OrderedDict
+
+            # Bounded per-query: keys are (appId, sf_dir) pairs, one
+            # live entry per session x scale factor; 4 covers the
+            # pytest suite's two tiers with headroom while keeping a
+            # long-lived multi-tenant session from growing without
+            # bound (round-5 advice).
+            plans: OrderedDict[tuple, DataFrame] = OrderedDict()
 
             @wraps(fn)
             def prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,6 +109,10 @@ def query(
                 if df is None:
                     df = fn(spark, sf_dir)
                     plans[key] = df
+                    while len(plans) > 4:
+                        plans.popitem(last=False)
+                else:
+                    plans.move_to_end(key)
                 return df
 
             use_fn = prepared

@@ -90,8 +90,14 @@ def test_scale_path_matches_broadcast_path(spark, monkeypatch):
     advice found the q_minhash_jaccard scale path threw
     AMBIGUOUS_REFERENCE — it had never been executed."""
     import open_rust_timeseries_db_spark.operators.dedupe as dd
+    import open_rust_timeseries_db_spark.queries.registry as registry
     from open_rust_timeseries_db_spark.queries import all_queries
 
+    # Disable the prepared-plan memo: without this, the second fn()
+    # call below would return the memoized BROADCAST-path plan and the
+    # grouped scale path would never execute (round-5 advice: the
+    # assertion passed vacuously).
+    monkeypatch.setattr(registry, "PLAN_MEMO_ENABLED", False)
     qs = all_queries()
     # q_contamination shares the same gate: broadcast train-shingle
     # dictionary when small, grouped single-shuffle shape at scale.

@@ -161,3 +161,37 @@ def test_bigram_boundary_masking_with_many_docs_per_batch(spark):
         for r in doc_bigram_counts_pd(df).collect()
     }
     assert got_pd == expected_pd
+
+
+def test_null_text_rows_tokenize_to_nothing(spark):
+    """documents.text is nullable: a NULL cell must behave exactly like
+    the JVM path (F.split on NULL -> NULL -> explode drops the row) in
+    EVERY Arrow kernel — no AttributeError, no phantom tokens (round-5
+    advice: the fused doc_gram kernel newly crashed on None)."""
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        doc_gram_counts_pd,
+        simhash_signatures_pd,
+    )
+
+    mixed = [(0, None), (1, "a b c d"), (2, None), (3, "a b")]
+    df = spark.createDataFrame(mixed, "doc_id long, text string")
+
+    grams = doc_gram_counts_pd(df).collect()
+    assert {r["id"] for r in grams} == {1, 3}
+    uni = {(r["id"], r["gram"]): r["n"] for r in grams if r["kind"] == 1}
+    assert uni[(1, "a")] == 1 and uni[(3, "b")] == 1
+    bi = {(r["id"], r["gram"]) for r in grams if r["kind"] == 2}
+    assert (1, "a b") in bi and (3, "a b") in bi
+
+    # The shingle / winnow / bigram-partial kernels share _toks: a
+    # NULL-only corpus yields zero rows everywhere, not a crash.
+    nulls = spark.createDataFrame(
+        [(7, None)], "doc_id long, text string"
+    )
+    assert shingle_hashes_pd(nulls).count() == 0
+    assert winnow_fp_pd(nulls).count() == 0
+    assert bigram_partial_counts_pd(nulls).count() == 0
+    assert doc_bigram_counts_pd(nulls).count() == 0
+    # SimHash emits one signature row per doc with >=1 token: a NULL
+    # doc has none, so no row (same as empty text).
+    assert simhash_signatures_pd(nulls).count() == 0
