@@ -25,52 +25,15 @@ from open_rust_timeseries_db_spark.queries import all_queries  # noqa: E402
 from open_rust_timeseries_db_spark.session import get_spark  # noqa: E402
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
-
-    # Size shuffle partitions from the input volume — the scale rule
-    # (partitions ~ decompressed bytes / 64 MB target), not the core
-    # count. At bench scale a 32-way shuffle pays ~0.15 s/query of
-    # bucket + scheduling overhead to move data that fits in 8
-    # partitions (measured, interleaved A/B); at cluster scale the same
-    # formula yields thousands of partitions. AQE coalescing still
-    # rides on top either way. x8 ~= parquet decompression factor.
-    raw_bytes = sum(
-        f.stat().st_size for f in Path(sf_dir).glob("*.parquet")
-    )
-    n_cores = os.cpu_count() or 8
-    sp = max(8, min(4 * n_cores, int(raw_bytes * 8 / (64 << 20)) or 1))
-    spark = get_spark("bench", shuffle_partitions=sp)
-    # Volume-aware whole-stage codegen, same logic as the partition
-    # sizing: fusing a stage into one janino class costs ~0.3-0.6 s of
-    # compile per query — paid on every COLD invocation — and only pays
-    # back when the fused loop runs over enough rows. Measured
-    # (interleaved A/B): at sf0.1 (~140 MB decompressed) codegen-off is
-    # 0.2-0.5 s faster cold and never slower warm; at sf1 codegen-on
-    # wins warm (q_groupby_avg 0.17 s vs 0.29 s, q_gapfill_locf 7.5 s
-    # vs 9.6 s). The engine default (session.py) keeps it ON — at
-    # cluster scale fused loops are the whole game; this is the same
-    # interactive-vs-batch compile-latency tradeoff every JIT engine
-    # tunes.
-    if raw_bytes * 8 < (256 << 20):
-        spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def warmup_session(spark, sf_dir: str) -> None:
+    """One-time session warmups (JVM/codegen/worker-pool/operator-
+    class/streaming machinery) shared by bench.py and the profiling/
+    decomposition scripts: generic operator and expression shapes
+    over synthetic or tiny data -- never a registered query's own
+    plan (q_minmax_value, the one real-table touch, is a trivial
+    minmax used as the parquet-footer/JVM warm).
+    """
     specs = all_queries()
-    # Iteration aid (never set by the driver): comma-separated query
-    # names to time, skipping the rest. Cache builds still run in full
-    # so "cold" means the same thing as a full sweep.
-    only = os.environ.get("SPARK_GRAFT_ONLY")
-    timed_specs = specs
-    if only:
-        keep = {s.strip() for s in only.split(",") if s.strip()}
-        unknown = keep - set(specs)
-        if unknown:
-            raise SystemExit(f"SPARK_GRAFT_ONLY names unknown queries: {sorted(unknown)}")
-        timed_specs = {n: s for n, s in specs.items() if n in keep}
-    timings: dict[str, float] = {}
     # Warm the session (JVM/codegen/parquet footer caches) on one tiny
     # query so the first measured query isn't charged for JVM warmup.
     specs["q_minmax_value"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -249,6 +212,57 @@ def main() -> None:
         mode="append",
         state_partitions=2,
     )
+
+
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    # Size shuffle partitions from the input volume — the scale rule
+    # (partitions ~ decompressed bytes / 64 MB target), not the core
+    # count. At bench scale a 32-way shuffle pays ~0.15 s/query of
+    # bucket + scheduling overhead to move data that fits in 8
+    # partitions (measured, interleaved A/B); at cluster scale the same
+    # formula yields thousands of partitions. AQE coalescing still
+    # rides on top either way. x8 ~= parquet decompression factor.
+    raw_bytes = sum(
+        f.stat().st_size for f in Path(sf_dir).glob("*.parquet")
+    )
+    n_cores = os.cpu_count() or 8
+    sp = max(8, min(4 * n_cores, int(raw_bytes * 8 / (64 << 20)) or 1))
+    spark = get_spark("bench", shuffle_partitions=sp)
+    # Volume-aware whole-stage codegen, same logic as the partition
+    # sizing: fusing a stage into one janino class costs ~0.3-0.6 s of
+    # compile per query — paid on every COLD invocation — and only pays
+    # back when the fused loop runs over enough rows. Measured
+    # (interleaved A/B): at sf0.1 (~140 MB decompressed) codegen-off is
+    # 0.2-0.5 s faster cold and never slower warm; at sf1 codegen-on
+    # wins warm (q_groupby_avg 0.17 s vs 0.29 s, q_gapfill_locf 7.5 s
+    # vs 9.6 s). The engine default (session.py) keeps it ON — at
+    # cluster scale fused loops are the whole game; this is the same
+    # interactive-vs-batch compile-latency tradeoff every JIT engine
+    # tunes.
+    if raw_bytes * 8 < (256 << 20):
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = all_queries()
+    # Iteration aid (never set by the driver): comma-separated query
+    # names to time, skipping the rest. Cache builds still run in full
+    # so "cold" means the same thing as a full sweep.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    timed_specs = specs
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = keep - set(specs)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY names unknown queries: {sorted(unknown)}")
+        timed_specs = {n: s for n, s in specs.items() if n in keep}
+    timings: dict[str, float] = {}
+    warmup_session(spark, sf_dir)
 
     # Two timed passes. "queries" reports the per-query MIN (warm
     # steady state: pass 1 additionally pays one-time JIT/codegen

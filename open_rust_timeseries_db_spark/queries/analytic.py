@@ -474,44 +474,27 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
     )
-    aggs = [F.max("n").alias("n")]
-    for i, p in enumerate(_APPROX_PCTS):
-        aggs.append(
-            F.max(
-                F.when(
-                    F.col("rn")
-                    == F.round(F.lit(p) * (F.col("n") - 1)).cast("bigint")
-                    + 1,
-                    F.col("lag_us"),
-                )
-            ).alias(f"e{i}")
+    # expr strings, not Column algebra: the 16-aggregate + 5-struct
+    # build is ~2 py4j round trips this way instead of ~400 (plan-build
+    # time is real cold cost at the driver; see minhash_neardup).
+    aggs = [F.expr("MAX(n) AS n")] + [
+        F.expr(e)
+        for i, p in enumerate(_APPROX_PCTS)
+        for e in (
+            f"MAX(CASE WHEN rn = CAST(ROUND({p!r} * (n - 1)) AS BIGINT) + 1 "
+            f"THEN lag_us END) AS e{i}",
+            f"SUM(CASE WHEN lag_us <= qs[{i}] THEN 1 ELSE 0 END) AS le{i}",
+            f"SUM(CASE WHEN lag_us < qs[{i}] THEN 1 ELSE 0 END) AS lt{i}",
         )
-        aggs.append(
-            F.sum(
-                F.when(F.col("lag_us") <= F.col("qs")[i], 1).otherwise(0)
-            ).alias(f"le{i}")
-        )
-        aggs.append(
-            F.sum(
-                F.when(F.col("lag_us") < F.col("qs")[i], 1).otherwise(0)
-            ).alias(f"lt{i}")
-        )
+    ]
     wide = ranked.crossJoin(F.broadcast(sk)).agg(*aggs)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(float(p)).alias("p"),
-                F.col(f"e{i}").alias("exact_lag_us"),
-                F.col("n").alias("n"),
-                (
-                    (F.col(f"le{i}") >= (F.lit(p - _PCT_RANK_EPS)) * F.col("n"))
-                    & (F.col(f"lt{i}") <= (F.lit(p + _PCT_RANK_EPS)) * F.col("n"))
-                ).alias("rank_ok"),
-            )
-            for i, p in enumerate(_APPROX_PCTS)
-        ]
+    structs = ", ".join(
+        f"struct(CAST({p!r} AS DOUBLE) AS p, e{i} AS exact_lag_us, n, "
+        f"(le{i} >= {p - _PCT_RANK_EPS!r} * n AND "
+        f" lt{i} <= {p + _PCT_RANK_EPS!r} * n) AS rank_ok)"
+        for i, p in enumerate(_APPROX_PCTS)
     )
-    return wide.select(F.explode(rows).alias("r")).select("r.*")
+    return wide.selectExpr(f"inline(array({structs}))")
 
 
 @query(
@@ -654,39 +637,51 @@ _DAY_US_A = 86_400_000_000
     """,
     doc="Ordered event funnel (view -> click -> purchase): stage k "
     "counts users whose earliest stage-k event strictly follows their "
-    "earliest qualifying stage-(k-1) event. Each stage is one filtered "
-    "aggregation joined to the (small) prior-stage frame — the "
-    "cascade's intermediate frames shrink monotonically, so at scale "
-    "every stage after the first is a broadcast join against a "
-    "per-user frame, never a self-join of the event log.",
+    "earliest qualifying stage-(k-1) event. ONE shuffle total: the "
+    "event log is hash-partitioned by user once, the three stage "
+    "thresholds cascade as same-partition window minima (no exchange "
+    "between them), the per-user rollup rides the same partitioning, "
+    "and the four funnel counts are one two-stage global aggregate. "
+    "The round-5 cascade (each stage a broadcast join against the "
+    "prior per-USER frame) was 16 jobs here and unscalable besides — "
+    "a per-user frame at 100 TB is not a broadcastable dim.",
     tags=("analytic", "funnel", "sequence"),
 )
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_us(spark, sf_dir)
-    v = (
-        ev.filter(F.col("event_type") == "view")
+    ev = events_us(spark, sf_dir).select("user_id", "ts_us", "event_type")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t1")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_us") > F.col("t2")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    per_user = (
+        staged.withColumn("t3", t3)
         .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t1"))
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
-        .filter(F.col("ts_us") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
-        .filter(F.col("ts_us") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t3"))
-    )
-    return (
-        ev.agg(F.countDistinct("user_id").alias("n_users"))
-        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view")))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_then_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_then_click"),
+        F.count("t3").alias("n_full_funnel"),
     )
 
 
@@ -707,19 +702,24 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Retention cohorts: users grouped by first-seen day, activity "
     "counted per day-offset for the first week — the standard "
-    "engagement matrix. The first-seen frame is per-user tiny "
-    "(broadcast side); the distinct-count aggregation is the only "
-    "event-log shuffle. All integers, so parity is exact.",
+    "engagement matrix. The cohort day is a same-partition window "
+    "minimum over the one user-keyed shuffle (the round-5 shape "
+    "broadcast a per-USER first-seen frame — not a broadcastable dim "
+    "at 100 TB, and a second event-log scan besides); the distinct "
+    "count then dedups (cohort, offset, user) map-side on the "
+    "user-partitioned blocks before the tiny final shuffle. All "
+    "integers, so parity is exact.",
     tags=("analytic", "retention", "cohort"),
 )
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = events_us(spark, sf_dir).select(
         "user_id", F.expr(f"ts_us div {_DAY_US_A}").alias("day")
     )
-    f = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort = d.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
     return (
-        d.join(F.broadcast(f), "user_id")
-        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        cohort.withColumn("day_offset", F.col("day") - F.col("cohort_day"))
         .filter(F.col("day_offset").between(0, 7))
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))

@@ -553,17 +553,26 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CAL_DAY_US = 86_400_000_000
+# Recursion step for the calendar spine: each UnionLoop iteration is a
+# scheduled Spark job, so the spine recurses in chunks and expands each
+# chunk declaratively — depth span/16 instead of span.
+_CAL_STEP_DAYS = 16
 
 
 @query(
     "q_recursive_calendar",
     f"""
-    WITH RECURSIVE cal(day_bucket, hi) AS (
+    WITH RECURSIVE chunk(lo, hi) AS (
       SELECT MIN(epoch_us(ts) // {_CAL_DAY_US}),
              MAX(epoch_us(ts) // {_CAL_DAY_US})
       FROM events
       UNION ALL
-      SELECT day_bucket + 1, hi FROM cal WHERE day_bucket < hi
+      SELECT lo + {_CAL_STEP_DAYS}, hi FROM chunk
+      WHERE lo + {_CAL_STEP_DAYS} <= hi
+    ), cal AS (
+      SELECT unnest(range(lo, LEAST(lo + {_CAL_STEP_DAYS} - 1, hi) + 1))
+               AS day_bucket
+      FROM chunk
     ), daily AS (
       SELECT epoch_us(ts) // {_CAL_DAY_US} AS day_bucket, COUNT(*) AS n
       FROM events GROUP BY 1
@@ -581,24 +590,33 @@ _CAL_DAY_US = 86_400_000_000
     "derived recursively from the data's own min/max day (the upper "
     "bound rides along the recursion — a scalar subquery in the "
     "recursive step would rescan the fact table every iteration), "
-    "left-joined "
-    "to daily counts with empty days zero-filled, plus a running "
-    "cumulative total. Recursion depth = days of history (bounded, "
-    "driver-side iteration of tiny frames); the heavy side — the daily "
-    "aggregate — is one ordinary shuffle. Complements the iterative "
-    "DataFrame loop of q_dedup_clusters: both fixpoint styles are "
-    "first-class.",
+    "left-joined to daily counts with empty days zero-filled, plus a "
+    "running cumulative total. The recursion steps in "
+    f"{_CAL_STEP_DAYS}-day chunks, each expanded declaratively "
+    "(sequence/explode) — recursion depth is span/step instead of "
+    "span, because each UnionLoop iteration costs a scheduled job "
+    "(round-5: the day-at-a-time loop was 30 iterations and 182x the "
+    "oracle at sf0.1; at 100 TB of history a per-day loop is a "
+    "driver-side bottleneck regardless of engine). The heavy side — "
+    "the daily aggregate — is one ordinary shuffle. Complements the "
+    "iterative DataFrame loop of q_dedup_clusters: both fixpoint "
+    "styles are first-class.",
     tags=("relational", "recursive", "calendar"),
 )
 def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_us(spark, sf_dir).createOrReplaceTempView("events_v")
     return spark.sql(
         f"""
-        WITH RECURSIVE cal(day_bucket, hi) AS (
+        WITH RECURSIVE chunk(lo, hi) AS (
           SELECT MIN(ts_us div {_CAL_DAY_US}), MAX(ts_us div {_CAL_DAY_US})
           FROM events_v
           UNION ALL
-          SELECT day_bucket + 1, hi FROM cal WHERE day_bucket < hi
+          SELECT lo + {_CAL_STEP_DAYS}, hi FROM chunk
+          WHERE lo + {_CAL_STEP_DAYS} <= hi
+        ), cal AS (
+          SELECT explode(sequence(lo, LEAST(lo + {_CAL_STEP_DAYS} - 1, hi)))
+                   AS day_bucket
+          FROM chunk
         ), daily AS (
           SELECT ts_us div {_CAL_DAY_US} AS day_bucket, COUNT(*) AS n
           FROM events_v GROUP BY 1

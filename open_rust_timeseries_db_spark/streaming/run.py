@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 # copy this into one.
 _SHM_CKPT_ROOT = "/dev/shm/spark-graft-ckpt"
 
+# Diagnostic: the last bounded drain's per-batch durationMs maps
+# (addBatch / queryPlanning / walCommit / ...), captured before the
+# query object goes away — scripts/floor_decomposition.py reads this
+# to attribute streaming wall time to machinery vs data work.
+LAST_DRAIN_PROGRESS: list[dict] = []
+
 
 def run_available_now_to_memory(
     spark: SparkSession,
@@ -80,6 +86,17 @@ def run_available_now_to_memory(
     try:
         q.awaitTermination(timeout_s)
     finally:
+        try:
+            LAST_DRAIN_PROGRESS[:] = [
+                {
+                    "batchId": p.get("batchId"),
+                    "numInputRows": p.get("numInputRows"),
+                    "durationMs": p.get("durationMs") or {},
+                }
+                for p in (q.recentProgress or [])
+            ]
+        except Exception:  # pragma: no cover - diagnostics only
+            pass
         if q.isActive:
             q.stop()
         if ckpt_dir is not None:

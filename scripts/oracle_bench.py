@@ -114,6 +114,14 @@ def main() -> None:
               f"{(bench or {}).get('cache_build_total', 0):7.3f}s")
     print(json.dumps({"duck_total_warm": round(sum(duck_warm.values()), 3)}))
 
+    decomp_path = Path(__file__).resolve().parent.parent / "FLOOR_DECOMP.json"
+    decomp: dict = {}
+    if decomp_path.exists():
+        try:
+            decomp = json.loads(decomp_path.read_text()).get("queries", {})
+        except ValueError:
+            pass
+
     out = {
         "sf_dir": sf_dir,
         "policy": (
@@ -134,6 +142,12 @@ def main() -> None:
                 "spark_warm_sec": (round(sw, 4) if sw is not None else None),
                 "ratio_cold": (round(rc, 2) if rc is not None else None),
                 "ratio_warm": (round(rw, 2) if rw is not None else None),
+                # Fixed-floor attribution measured by
+                # scripts/floor_decomposition.py (plan-build py4j time,
+                # job count, driver/AQE gap vs in-job time): the
+                # per-row evidence behind the "over-gate rows are
+                # scheduling floor, not plan defects" claim.
+                "decomp": decomp.get(name),
             }
             for name, dc, dw, sc, sw, rc, rw in rows
         },
