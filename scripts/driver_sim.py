@@ -7,6 +7,13 @@ order-insensitive value-hash compare (columns sorted by name, rows
 sorted, values stringified, sha256).
 
 Usage: python scripts/driver_sim.py [sf_dir]
+
+``SPARK_GRAFT_ANSI=1`` runs the whole pass under
+``spark.sql.ansi.enabled=true``: ANSI mode turns silent integer
+overflow / invalid casts into loud errors, so a green run proves no
+query result depends on a silent wrap anywhere (round-5 verdict item
+7; the fixed-point DECIMAL accumulators are supposed to make wraps
+impossible — this verifies it end-to-end).
 """
 
 from __future__ import annotations
@@ -64,13 +71,20 @@ def main() -> int:
 
     # Vanilla session — deliberately NOT our get_spark(); the driver
     # builds its own. Queries must self-provision runtime confs.
-    spark = (
+    import os
+
+    ansi = os.environ.get("SPARK_GRAFT_ANSI") == "1"
+    builder = (
         SparkSession.builder.master("local[8]")
-        .appName("driver-sim")
+        .appName("driver-sim" + ("-ansi" if ansi else ""))
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if ansi:
+        builder = builder.config("spark.sql.ansi.enabled", "true")
+    spark = builder.getOrCreate()
+    if ansi:
+        print("[ansi] spark.sql.ansi.enabled=true for this pass")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

@@ -13,7 +13,12 @@ seconds (+ spark seconds and ratios when a bench file is given), so the
 instead of re-measured by hand.
 
 Usage:
-    python scripts/oracle_bench.py [sf_dir] [bench_json_path]
+    python scripts/oracle_bench.py [sf_dir] [bench_json_path] [out_name]
+
+``out_name`` defaults to ORACLE_BENCH.json; the sf1 sweep passes
+ORACLE_BENCH_SF1.json. ``ORACLE_BENCH_SKIP`` (comma-separated query
+names) skips oracles that are intractable at the given tier
+(q_dedup_clusters' recursive-CTE oracle runs >45 min at sf1).
 """
 
 from __future__ import annotations
@@ -36,8 +41,16 @@ TABLE_NAMES = [
 
 
 def main() -> None:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     bench_path = sys.argv[2] if len(sys.argv) > 2 else None
+    out_name = sys.argv[3] if len(sys.argv) > 3 else "ORACLE_BENCH.json"
+    skip = {
+        s.strip()
+        for s in os.environ.get("ORACLE_BENCH_SKIP", "").split(",")
+        if s.strip()
+    }
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -49,7 +62,7 @@ def main() -> None:
     duck_cold: dict[str, float] = {}
     duck_warm: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        if not spec.oracle:
+        if not spec.oracle or name in skip:
             continue
         best = float("inf")
         for i in range(2):
@@ -118,7 +131,11 @@ def main() -> None:
     decomp: dict = {}
     if decomp_path.exists():
         try:
-            decomp = json.loads(decomp_path.read_text()).get("queries", {})
+            d = json.loads(decomp_path.read_text())
+            # Only attach the decomposition when it was measured at the
+            # same tier as this sweep.
+            if d.get("sf_dir") == sf_dir:
+                decomp = d.get("queries", {})
         except ValueError:
             pass
 
@@ -168,7 +185,7 @@ def main() -> None:
         if bench_path
         else None,
     }
-    out_path = Path(__file__).resolve().parent.parent / "ORACLE_BENCH.json"
+    out_path = Path(__file__).resolve().parent.parent / out_name
     out_path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
     print(f"wrote {out_path}")
 
