@@ -234,6 +234,22 @@ def main() -> None:
     n_cores = os.cpu_count() or 8
     sp = max(8, min(4 * n_cores, int(raw_bytes * 8 / (64 << 20)) or 1))
     spark = get_spark("bench", shuffle_partitions=sp)
+    # Volume-aware SCAN splitting, the read-side twin of the shuffle
+    # sizing: the default 128 MB spark.sql.files.maxPartitionBytes is
+    # right at cluster scale but turns a 104 MB single-file sf1 table
+    # into a ONE-TASK scan — the round-6 sf1 sweep's "throughput gaps"
+    # (q_stats_moments 12x, q_anomaly_zscore 15x) were 31 idle cores,
+    # not slow operators. Two hard-won bounds (both measured):
+    # - volume gate, same threshold as the codegen gate below: at
+    #   sf0.1 every file is a SINGLE parquet row group, and byte-range
+    #   splits finer than a row group schedule tasks that read nothing
+    #   (cold_total 61 -> 87 s when applied ungated);
+    # - 4 MB floor: splits only pay when each task gets at least a
+    #   row group's worth of real work (gen_sf1 writes ~1.6 MB groups).
+    mpb = max(4 << 20, int(raw_bytes / (2 * n_cores)))
+    if raw_bytes * 8 >= (256 << 20) and mpb < (128 << 20):
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 19))
     # Volume-aware whole-stage codegen, same logic as the partition
     # sizing: fusing a stage into one janino class costs ~0.3-0.6 s of
     # compile per query — paid on every COLD invocation — and only pays

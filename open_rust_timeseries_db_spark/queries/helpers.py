@@ -35,12 +35,21 @@ def spread_scan(df: DataFrame, partitions: int | None = None) -> DataFrame:
     Gated on the actual scan partition count so it is a NO-OP at scale:
     a real multi-row-group / multi-file corpus already splits, and the
     full-data shuffle this would add there is exactly what we avoid.
+    The gate is "would the spread buy >=4x parallelism": a scan already
+    within 4x of the target keeps its natural splits (the shuffle would
+    cost more than the extra fan-out wins), while a scan far below it
+    is by construction byte-small (few splits under a <=128 MB split
+    size), so the one-time shuffle is cheap relative to the CPU-heavy
+    map work that motivated the call. A 100 TB table arrives as
+    thousands of splits and always no-ops.
 
     The ``df.rdd`` probe materializes a physical plan (~tens of ms);
     catalog tables are cached per application (sources/catalog.py), so
     the count is memoized on the DataFrame object itself — one probe
     per table per session instead of one per query invocation.
     """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
     nparts = getattr(df, "_spread_scan_nparts", None)
     if nparts is None:
         nparts = df.rdd.getNumPartitions()
@@ -48,10 +57,8 @@ def spread_scan(df: DataFrame, partitions: int | None = None) -> DataFrame:
             df._spread_scan_nparts = nparts
         except AttributeError:  # exotic DataFrame proxy; skip memo
             pass
-    if nparts > 1:
+    if nparts * 4 >= partitions:
         return df
-    if partitions is None:
-        partitions = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(partitions)
 
 

@@ -85,6 +85,15 @@ def main() -> None:
         .getOrCreate()
     )
     tune_session(spark)
+    # Volume-gated scan splits, mirroring bench.py (see the comment
+    # there: single-row-group sf0.1 files make finer splits pure
+    # scheduling overhead, so the gate only opens at sf1-scale).
+    import os as _os
+
+    mpb = max(4 << 20, int(raw_bytes / (2 * (_os.cpu_count() or 8))))
+    if raw_bytes * 8 >= (256 << 20) and mpb < (128 << 20):
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 19))
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
     warmup_session(spark, sf_dir)

@@ -36,6 +36,25 @@ import pyarrow.parquet as pq
 
 COPIES = 10
 
+# Row-group sizing for the replicated fact tables. The driver's sf0.1
+# files are single-row-group parquet — fine at 10-MB scale, but a
+# faithful 10x tier must preserve the property real large tables have:
+# MANY independently-scannable chunks (a 100 TB table is thousands of
+# files x row groups; scan parallelism comes from that, not from
+# splitting inside a row group — byte-range splits finer than a row
+# group schedule empty tasks, measured as the round-6 sf0.1 regression).
+# ~64 groups per fact table (2 scan tasks/core on local[32]), floored
+# at 64k rows so group overhead (footer stats, dictionary restart)
+# stays negligible.
+_TARGET_GROUPS = 64
+_MIN_GROUP_ROWS = 64 * 1024
+
+
+def _write_grouped(tbl: pa.Table, path: Path) -> None:
+    rows = tbl.num_rows
+    rg = max(_MIN_GROUP_ROWS, rows // _TARGET_GROUPS) if rows else rows
+    pq.write_table(tbl, path, row_group_size=rg)
+
 
 def _stride(ids: np.ndarray, mult: int = 1) -> int:
     s = int(ids.max()) + 1
@@ -95,7 +114,7 @@ def main() -> None:
                 else:
                     cols[field.name] = arr.combine_chunks()
             chunks.append(pa.table(cols, schema=tbl.schema))
-        pq.write_table(pa.concat_tables(chunks), dst / f"{name}.parquet")
+        _write_grouped(pa.concat_tables(chunks), dst / f"{name}.parquet")
 
     replicate("customer", {"c_custkey": cust})
     replicate("supplier", {"s_suppkey": supp})
@@ -137,7 +156,7 @@ def main() -> None:
                 schema=dtbl.schema,
             )
         )
-    pq.write_table(pa.concat_tables(chunks), dst / "documents.parquet")
+    _write_grouped(pa.concat_tables(chunks), dst / "documents.parquet")
 
     # embeddings: rolled-vector copies.
     etbl = t["embeddings"]
@@ -160,7 +179,7 @@ def main() -> None:
                 schema=etbl.schema,
             )
         )
-    pq.write_table(pa.concat_tables(chunks), dst / "embeddings.parquet")
+    _write_grouped(pa.concat_tables(chunks), dst / "embeddings.parquet")
 
     for p in sorted(dst.glob("*.parquet")):
         print(f"{p.name}: {pq.read_metadata(p).num_rows} rows")

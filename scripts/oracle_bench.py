@@ -148,6 +148,11 @@ def main() -> None:
             "work), warm = min of 2 passes; gate judged on cold"
             + ("" if "queries_cold" in (bench or {}) else
                "; WARNING: bench file had no queries_cold, cold==warm")
+            + (
+                "; " + bench["merge_policy"]
+                if (bench or {}).get("merge_policy")
+                else ""
+            )
             if bench_path
             else "cold = pass 1, warm = min of 2 passes; no bench file"
         ),
