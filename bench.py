@@ -250,6 +250,15 @@ def main() -> None:
     if raw_bytes * 8 >= (256 << 20) and mpb < (128 << 20):
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
         spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 19))
+        # The shuffle-side twin: with parallelismFirst=false (session
+        # default, right for the sf0.1 floor) AQE coalesces to the
+        # 64 MB advisory, which serializes a 36 MB window shuffle into
+        # ONE task at this tier (measured: q_anomaly_zscore's rolling
+        # frame, 1.8 s single-task). Size the advisory like the scan
+        # split so reduce-side parallelism tracks data volume too.
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(mpb)
+        )
     # Volume-aware whole-stage codegen, same logic as the partition
     # sizing: fusing a stage into one janino class costs ~0.3-0.6 s of
     # compile per query — paid on every COLD invocation — and only pays

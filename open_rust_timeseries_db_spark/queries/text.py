@@ -19,6 +19,7 @@ from open_rust_timeseries_db_spark.functions.text import (
     marker_hits,
     tokens,
 )
+from open_rust_timeseries_db_spark.queries.helpers import spread_scan
 from open_rust_timeseries_db_spark.queries.registry import query
 from open_rust_timeseries_db_spark.sources.catalog import load_table
 
@@ -46,7 +47,7 @@ def _sql_in_list(items: tuple[str, ...]) -> str:
     tags=("text", "tokens"),
 )
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
@@ -76,7 +77,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "tokens", "regex"),
 )
 def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     pieces = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0)
     return (
         docs.select(F.explode(pieces).alias("piece"))
@@ -117,12 +118,15 @@ _LANG_CASE_SQL = """
     tags=("text", "langid"),
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    scored = docs.select(
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    # Tokenize ONCE through an intermediate projection: inlining
+    # tokens("text") into the four marker counts re-evaluates the
+    # split per language (lambda HOFs defeat common-subexpression
+    # elimination — the sf1 plan showed 4x split(text) per row).
+    scored = docs.select("doc_id", tokens("text").alias("_toks")).select(
         "doc_id",
         *[
-            marker_hits(toks, markers).alias(f"{lang}_hits")
+            marker_hits(F.col("_toks"), markers).alias(f"{lang}_hits")
             for lang, markers in LANG_MARKERS.items()
         ],
     )
@@ -166,9 +170,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality"),
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    # Tokenize once via an intermediate projection (same rationale as
+    # q_lang_id: lambda HOFs defeat CSE, so inlining re-splits per use).
+    toks = F.col("_toks")
     t = docs.select(
+        "doc_id", "text", tokens("text").alias("_toks")
+    ).select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),

@@ -94,6 +94,9 @@ def main() -> None:
     if raw_bytes * 8 >= (256 << 20) and mpb < (128 << 20):
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
         spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 19))
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(mpb)
+        )
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_queries()
     warmup_session(spark, sf_dir)
