@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_rust_timeseries_db_spark.functions.text import tokens
-from open_rust_timeseries_db_spark.queries.helpers import spread_scan
 from open_rust_timeseries_db_spark.queries.registry import query
 from open_rust_timeseries_db_spark.sources.catalog import load_table
 
@@ -470,7 +469,7 @@ def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "scrub", "audit"),
 )
 def q_scrub_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     per_doc = docs.select(
         "source",
@@ -609,7 +608,7 @@ _MIX_RATES: tuple[tuple[str, int], ...] = (
     tags=("pipeline", "mixture", "sampling"),
 )
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     rates = docs.sparkSession.createDataFrame(
         list(_MIX_RATES), schema="source string, keep_pct int"
     )

@@ -20,7 +20,6 @@ from open_rust_timeseries_db_spark.queries.helpers import (
     dsum,
     events_us,
     fx_resum,
-    spread_scan,
     sql_davg,
     sql_dsum,
 )
@@ -463,7 +462,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "strings"),
 )
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.upper("lang").alias("lang_up"),

@@ -47,7 +47,7 @@ def _sql_in_list(items: tuple[str, ...]) -> str:
     tags=("text", "tokens"),
 )
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
@@ -77,7 +77,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "tokens", "regex"),
 )
 def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     pieces = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0)
     return (
         docs.select(F.explode(pieces).alias("piece"))
