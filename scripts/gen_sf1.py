@@ -44,15 +44,25 @@ COPIES = 10
 # splitting inside a row group — byte-range splits finer than a row
 # group schedule empty tasks, measured as the round-6 sf0.1 regression).
 # ~64 groups per fact table (2 scan tasks/core on local[32]), floored
-# at 64k rows so group overhead (footer stats, dictionary restart)
-# stays negligible.
+# by BYTES per group, not rows: a 64k-row floor kept the fat-row
+# tables (documents ~800 B/row, embeddings ~1 KB/row) in ONE 40 MB
+# group, which serialized every sf1 text-kernel scan onto a single
+# task — the row floor only made sense for skinny TPC-H rows. Each
+# group carries >=2 MB of in-memory data (~1 MB on disk), so footer
+# stats / dictionary-restart overhead stays negligible either way.
 _TARGET_GROUPS = 64
-_MIN_GROUP_ROWS = 64 * 1024
+_MIN_GROUP_BYTES = 2 << 20
+_MIN_GROUP_ROWS = 4096
 
 
 def _write_grouped(tbl: pa.Table, path: Path) -> None:
     rows = tbl.num_rows
-    rg = max(_MIN_GROUP_ROWS, rows // _TARGET_GROUPS) if rows else rows
+    if not rows:
+        pq.write_table(tbl, path)
+        return
+    bytes_per_row = max(1, tbl.nbytes // rows)
+    min_rows = max(_MIN_GROUP_ROWS, _MIN_GROUP_BYTES // bytes_per_row)
+    rg = max(min_rows, rows // _TARGET_GROUPS)
     pq.write_table(tbl, path, row_group_size=rg)
 
 
