@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+import os
 import urllib.request
 from datetime import datetime
 from pathlib import Path
@@ -61,7 +62,13 @@ def _jobs(ui: str, app: str) -> dict[int, float]:
 
 def main() -> None:
     args = sys.argv[1:]
-    sf_dir = next((a for a in args if not a.startswith("q_")), "/root/testdata/sf0.1")
+    out_name = next(
+        (a for a in args if a.endswith(".json")), "FLOOR_DECOMP.json"
+    )
+    sf_dir = next(
+        (a for a in args if not a.startswith("q_") and not a.endswith(".json")),
+        "/root/testdata/sf0.1",
+    )
     names = [a for a in args if a.startswith("q_")]
 
     from pyspark.sql import SparkSession
@@ -82,6 +89,12 @@ def main() -> None:
         .appName("floor-decomp")
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.ui.enabled", "true")
+        # Same driver heap as session.get_spark — the default 1g OOMs
+        # at the sf1 tier (static conf, must precede JVM start).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        )
         .getOrCreate()
     )
     tune_session(spark)
@@ -151,7 +164,7 @@ def main() -> None:
               {k: v for k, v in out[name].items() if k not in ("kind", "duration_ms")},
               flush=True)
 
-    path = REPO / "FLOOR_DECOMP.json"
+    path = REPO / out_name
     path.write_text(json.dumps({
         "sf_dir": sf_dir,
         "policy": (

@@ -127,17 +127,20 @@ def main() -> None:
               f"{(bench or {}).get('cache_build_total', 0):7.3f}s")
     print(json.dumps({"duck_total_warm": round(sum(duck_warm.values()), 3)}))
 
-    decomp_path = Path(__file__).resolve().parent.parent / "FLOOR_DECOMP.json"
+    repo = Path(__file__).resolve().parent.parent
     decomp: dict = {}
-    if decomp_path.exists():
+    for fname in ("FLOOR_DECOMP.json", "FLOOR_DECOMP_SF1.json"):
+        decomp_path = repo / fname
+        if not decomp_path.exists():
+            continue
         try:
             d = json.loads(decomp_path.read_text())
-            # Only attach the decomposition when it was measured at the
-            # same tier as this sweep.
-            if d.get("sf_dir") == sf_dir:
-                decomp = d.get("queries", {})
         except ValueError:
-            pass
+            continue
+        # Only attach the decomposition measured at this sweep's tier.
+        if d.get("sf_dir") == sf_dir:
+            decomp = d.get("queries", {})
+            break
 
     out = {
         "sf_dir": sf_dir,
