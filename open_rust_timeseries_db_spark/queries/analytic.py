@@ -475,15 +475,20 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One-row sketch frame, broadcast onto the ranked scan: the whole
     # check is two passes over the lag column (sketch build + combined
     # rank/exact aggregation) with no driver-side collect.
+    # n rides in the one-row broadcast with the sketch: a second
+    # unpartitioned COUNT window would be its own full-pass Window
+    # operator on top of the row_number sort (measured as the 4th job
+    # on this query's decomp; two single-task window passes where one
+    # suffices).
     sk = lags.agg(
-        F.percentile_approx("lag_us", _APPROX_PCTS, 10000).alias("qs")
+        F.percentile_approx("lag_us", _APPROX_PCTS, 10000).alias("qs"),
+        F.count(F.lit(1)).alias("n"),
     )
     ranked = lags.select(
         "lag_us",
         F.row_number()
         .over(Window.orderBy("lag_us", "event_id"))
         .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
     )
     # expr strings, not Column algebra: the 16-aggregate + 5-struct
     # build is ~2 py4j round trips this way instead of ~400 (plan-build
