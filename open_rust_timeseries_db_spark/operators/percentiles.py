@@ -12,6 +12,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Budget for the exact path's single-task global sort. Catalyst's
+# sizeInBytes estimate is free (no job); beyond this the operator
+# refuses instead of silently funneling a cluster-scale sort through
+# one task — callers switch to approx_percentiles (mergeable sketch)
+# or nearest_rank_percentiles_by (per-key parallel sort).
+EXACT_SORT_MAX_BYTES = 2 << 30
+
+
+def _estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's estimated output size of the optimized plan, in bytes.
+
+    Returns -1 when the py4j surface is unavailable (never blocks the
+    query on an introspection failure).
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes()))
+    except Exception:
+        return -1
+
 
 def nearest_rank_percentiles(
     df: DataFrame,
@@ -23,8 +43,19 @@ def nearest_rank_percentiles(
 
     Scale note: requires a total order over the column — a single-task
     sort of N rows. Exactness is only needed for oracle parity; use
-    :func:`approx_percentiles` beyond memory scale.
+    :func:`approx_percentiles` beyond memory scale. Enforced at
+    runtime: inputs whose Catalyst-estimated size exceeds
+    ``EXACT_SORT_MAX_BYTES`` raise rather than run the one-task sort.
     """
+    cols = [value_col] + ([tiebreak] if tiebreak else [])
+    est = _estimated_size_bytes(df.select(*cols))
+    if est > EXACT_SORT_MAX_BYTES:
+        raise ValueError(
+            f"nearest_rank_percentiles: estimated input {est >> 20} MiB exceeds "
+            f"the single-task exact-sort budget ({EXACT_SORT_MAX_BYTES >> 20} MiB). "
+            "Use approx_percentiles (one-pass mergeable sketch) or "
+            "nearest_rank_percentiles_by (per-key parallel sort) at this scale."
+        )
     order = [F.col(value_col)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.orderBy(*order)
     ranked = df.select(

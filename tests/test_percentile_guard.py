@@ -1,0 +1,55 @@
+"""The exact-percentile operator must refuse cluster-scale inputs.
+
+``nearest_rank_percentiles`` funnels its global sort through one task
+(reference semantics: sort + round(p*(n-1)) indexing,
+src/tests/integration_test.rs:359-364); the scale contract is enforced
+at runtime by a Catalyst size-estimate gate, not just a docstring.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import open_rust_timeseries_db_spark.operators.percentiles as pct
+
+
+def _frame(spark):
+    return spark.range(0, 1000).select(
+        F.col("id").alias("tie"), (F.col("id") % 97).cast("double").alias("v")
+    )
+
+
+def test_exact_percentiles_under_budget(spark):
+    out = pct.nearest_rank_percentiles(
+        _frame(spark), "v", [("p50", 0.5), ("p99", 0.99)], tiebreak="tie"
+    ).collect()[0]
+    # 1000 rows of (id % 97): nearest-rank indexes round(p*999).
+    vals = sorted((i % 97, i) for i in range(1000))
+    assert out["p50"] == float(vals[round(0.5 * 999)][0])
+    assert out["p99"] == float(vals[round(0.99 * 999)][0])
+
+
+def test_exact_percentiles_refuse_over_budget(spark, monkeypatch):
+    monkeypatch.setattr(pct, "EXACT_SORT_MAX_BYTES", 1)
+    with pytest.raises(ValueError, match="exact-sort budget"):
+        pct.nearest_rank_percentiles(
+            _frame(spark), "v", [("p50", 0.5)], tiebreak="tie"
+        )
+
+
+def test_size_estimate_is_sane(spark):
+    est = pct._estimated_size_bytes(_frame(spark))
+    # 1000 narrow rows: a real positive estimate far below the budget.
+    assert 0 < est < pct.EXACT_SORT_MAX_BYTES
+
+
+def test_grouped_variant_not_gated(spark, monkeypatch):
+    # The per-key form sorts within key partitions (parallel) and must
+    # stay usable past the global budget.
+    monkeypatch.setattr(pct, "EXACT_SORT_MAX_BYTES", 1)
+    df = _frame(spark).withColumn("k", (F.col("tie") % 2).cast("int"))
+    rows = pct.nearest_rank_percentiles_by(
+        df, "k", "v", [("p50", 0.5)], tiebreak="tie"
+    ).collect()
+    assert len(rows) == 2
