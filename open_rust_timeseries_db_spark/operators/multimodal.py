@@ -113,7 +113,14 @@ def decode_image(payload: bytes) -> "np.ndarray":
             break
     if width is None or channels is None:
         raise ValueError("PNG missing IHDR")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # Truncated/corrupt IDAT streams must honor the documented
+        # contract (ValueError), so callers that key ok=false rows on
+        # it never fail a task on a zlib.error they didn't expect.
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
