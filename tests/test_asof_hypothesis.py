@@ -1,0 +1,79 @@
+"""Hypothesis property test for the as-of join vs a naive reference.
+
+operators/asof.py composes the join from a union + per-key window
+(never a range crossJoin); the edge tests in test_asof.py pin known
+corners, and this property sweeps random key/timestamp layouts —
+duplicate timestamps on both sides, keys present on one side only,
+both directions, inner and left — against a per-row linear-scan
+reference.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from open_rust_timeseries_db_spark.operators.asof import asof_join
+
+_key = st.integers(min_value=0, max_value=2)
+_ts = st.integers(min_value=0, max_value=20)
+
+
+@st.composite
+def sides(draw):
+    left = draw(st.lists(st.tuples(_key, _ts), min_size=0, max_size=12))
+    right = draw(st.lists(st.tuples(_key, _ts), min_size=0, max_size=12))
+    # Unique (key, ts) on the right so the match is well-defined
+    # without a tiebreak column (the tiebreak path has its own tests).
+    right = sorted(set(right))
+    return left, right
+
+
+def _naive(left, right, direction, how):
+    out = []
+    for lk, lt in left:
+        if direction == "backward":
+            cands = [(rt, rv) for rk, rt, rv in right if rk == lk and rt <= lt]
+            best = max(cands) if cands else None
+        else:
+            cands = [(rt, rv) for rk, rt, rv in right if rk == lk and rt >= lt]
+            best = min(cands) if cands else None
+        if best is not None:
+            out.append((lk, lt, best[0], best[1]))
+        elif how == "left":
+            out.append((lk, lt, None, None))
+    return sorted(out, key=lambda r: (r[0], r[1], r[2] is None, r[2] or 0))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=sides(),
+    direction=st.sampled_from(["backward", "forward"]),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_asof_join_matches_linear_scan(spark, data, direction, how):
+    left_rows, right_rows = data
+    right_rows = [(k, t, k * 100 + t) for k, t in right_rows]
+    left = spark.createDataFrame(
+        left_rows or [(None, None)], "k int, lts int"
+    )
+    if not left_rows:
+        left = left.filter("k IS NOT NULL")
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None)], "k int, rts int, px int"
+    )
+    if not right_rows:
+        right = right.filter("k IS NOT NULL")
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_values=["px"], how=how, direction=direction,
+    )
+    got = sorted(
+        (
+            (r["k"], r["lts"], r["asof_ts"], r["asof_px"])
+            for r in out.collect()
+        ),
+        key=lambda r: (r[0], r[1], r[2] is None, r[2] or 0),
+    )
+    # The naive reference attaches one match per left ROW; duplicate
+    # left rows therefore appear once per occurrence in both.
+    assert got == _naive(left_rows, right_rows, direction, how)
