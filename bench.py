@@ -329,23 +329,34 @@ def main() -> None:
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "cache_builds": cache_builds,
-                "cache_build_total": round(sum(cache_builds.values()), 4),
-                "cold_total": round(
-                    sum(cold.values()) + sum(cache_builds.values()), 4
-                ),
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": cold,
+        "cache_builds": cache_builds,
+        "cache_build_total": round(sum(cache_builds.values()), 4),
+        "cold_total": round(
+            sum(cold.values()) + sum(cache_builds.values()), 4
+        ),
+        "sf": sf,
+    }
+    # Compact separators: the recording driver keeps only the LAST
+    # 2000 chars of stdout, which window lands on queries_cold (the
+    # gated regime) — every byte saved pulls more of that map into
+    # what it records. The full result is also teed to
+    # BENCH_LOCAL.json next to this script (committed per roll), so
+    # the complete per-query picture never depends on the window.
+    line = json.dumps(result, separators=(",", ":"))
+    print(line)
+    if not os.environ.get("SPARK_GRAFT_ONLY"):
+        try:
+            (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
+                line + "\n"
+            )
+        except OSError:
+            pass  # read-only checkout: stdout already has the result
     spark.stop()
 
 
