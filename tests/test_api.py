@@ -321,3 +321,48 @@ def test_plan_memo_is_bounded():
         assert len(calls) == 7, "evicted entry should rebuild"
     finally:
         REGISTRY.pop("q_memo_bound_probe", None)
+
+
+def test_flush_failure_restores_fifo_and_clears_backpressure(spark, tmp_path):
+    """A failed flush must restore the drained rows in order, clear the
+    in-flight flag, and leave the table fully usable — the contract
+    that makes flush_to_parquet exactly-once instead of at-most-once."""
+    blocker = tmp_path / "blocked"
+    blocker.write_text("not a directory")
+    table = Table(spark, "flush_fail", MARKET_SCHEMA, capacity=64)
+    ticks = [_tick(0, i) for i in range(10)]
+    for t in ticks:
+        assert table.write_record(t)
+    with pytest.raises(Exception):
+        # Parquet cannot write under a plain file: the drain must fail.
+        table.flush_to_parquet(str(blocker / "sub"))
+    assert table.record_count() == 10  # everything restored
+    assert table.write_record(_tick(0, 99))  # backpressure cleared
+    drained = [table.read_one_record() for _ in range(11)]
+    assert drained == ticks + [_tick(0, 99)]  # original FIFO order
+    assert table.read_one_record() is None
+
+
+def test_writes_rejected_while_flush_in_flight(spark, monkeypatch):
+    """write_record must return False (backpressure) while a flush is
+    draining, so the failure-path restore can never exceed capacity.
+    The in-flight window is driven deterministically by hooking the
+    flush's createDataFrame call from the same thread."""
+    table = Table(spark, "flush_bp", MARKET_SCHEMA, capacity=8)
+    for i in range(8):
+        assert table.write_record(_tick(1, i))
+    observed = {}
+
+    class _HookedSpark:
+        def createDataFrame(self, rows, schema):
+            observed["mid_flight_write"] = table.write_record(_tick(1, 42))
+            observed["count_during"] = table.record_count()
+            raise RuntimeError("abort flush after probing")
+
+    monkeypatch.setattr(table, "spark", _HookedSpark())
+    with pytest.raises(RuntimeError):
+        table.flush_to_parquet("/unused")
+    assert observed["mid_flight_write"] is False
+    assert observed["count_during"] == 0  # buffer drained atomically
+    assert table.record_count() == 8  # restore happened in full
+    assert table.is_full()
