@@ -333,3 +333,83 @@ def test_semantic_dedup_blocks_on_centroid(spark, qs):
     df = qs["q_semantic_dedup"].fn(spark, SF_DIR)
     plan = plan_string(df, "simple")
     assert "hashpartitioning(centroid_id" in plan, plan
+
+
+def test_single_task_sorts_confined_to_allowlist(spark, qs):
+    """No registered batch query may funnel data-scale rows through a
+    single task (Exchange SinglePartition feeding a Sort/Window)
+    unless it is on this allowlist — every entry is either bounded by
+    construction or a documented exact-math twin of a scale path.
+    A new query sliding into single-task territory fails here instead
+    of at 1000 executors."""
+    import re
+
+    # query -> why a single-task sort/window is acceptable there
+    allow = {
+        # Nearest-rank global percentiles: reference-exact semantics
+        # (sort + round(p*(n-1)) indexing); approx_percentiles is the
+        # documented 100 TB path, and operators/percentiles.py gates
+        # the reusable operator on estimated input size.
+        "q_latency_percentiles": "exact-percentile parity twin",
+        "q_approx_percentile": "error-bound check needs the exact rank side",
+        # Global NTILE(10): docstring routes scale users to
+        # approx_percentile bounds + bucketed aggregation.
+        "q_length_deciles": "exact-decile parity twin",
+        # The share window runs over the post-aggregation BIN table
+        # (bounded by the value range / bin width), not raw rows.
+        "q_value_histogram": "window over tiny bin table",
+        # Date-spine recursion: rows bounded by the calendar span.
+        "q_recursive_calendar": "bounded date spine",
+    }
+
+    def single_task_data_ops(plan: str) -> bool:
+        sp = {
+            int(m.group(1))
+            for m in re.finditer(r"\((\d+)\) Exchange\b", plan)
+            if re.search(
+                r"\(%s\) Exchange[^\n]*\nInput[^\n]*\nArguments: SinglePartition"
+                % m.group(1),
+                plan,
+            )
+        }
+        if not sp:
+            return False
+        tree = []
+        for line in plan.splitlines():
+            m = re.match(r"^([ +:-]*)([A-Za-z][A-Za-z0-9]*)[^(]*\((\d+)\)", line)
+            if m:
+                tree.append((len(m.group(1)), m.group(2), int(m.group(3))))
+            elif tree:
+                break
+        for i, (ind, _name, nid) in enumerate(tree):
+            if nid in sp:
+                cur, anc = ind, []
+                for j in range(i - 1, -1, -1):
+                    if tree[j][0] < cur:
+                        anc.append(tree[j][1])
+                        cur = tree[j][0]
+                    if len(anc) >= 2:
+                        break
+                if any(a in ("Sort", "Window", "WindowGroupLimit") for a in anc):
+                    return True
+        return False
+
+    offenders = []
+    for name, spec in sorted(qs.items()):
+        if {"streaming", "iterative"} & set(spec.tags) or name in allow:
+            continue
+        if single_task_data_ops(plan_string(spec.fn(spark, SF_DIR))):
+            offenders.append(name)
+    assert not offenders, (
+        f"single-task Sort/Window outside the allowlist: {offenders} — "
+        "partition the window, pre-aggregate first, or add an "
+        "allowlist entry with a scale rationale"
+    )
+    # The allowlist itself must stay honest: entries that lose their
+    # single-task shape should be removed.
+    stale = [
+        n
+        for n in allow
+        if not single_task_data_ops(plan_string(qs[n].fn(spark, SF_DIR)))
+    ]
+    assert not stale, f"allowlisted but no longer single-task: {stale}"
