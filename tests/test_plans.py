@@ -413,3 +413,32 @@ def test_single_task_sorts_confined_to_allowlist(spark, qs):
         if not single_task_data_ops(plan_string(qs[n].fn(spark, SF_DIR)))
     ]
     assert not stale, f"allowlisted but no longer single-task: {stale}"
+
+
+def test_no_cartesian_products_and_bnlj_allowlisted(spark, qs):
+    """CartesianProduct must never appear in any registered plan (a
+    data x data cartesian is quadratic at any scale), and
+    BroadcastNestedLoopJoin is confined to sites that broadcast a
+    bounded side: one-row scalar/bounds attaches and the documented
+    range join (theta predicate, broadcast build side)."""
+    allow_bnlj = {
+        "q_approx_percentile": "one-row sketch frame attach",
+        "q_gapfill_locf": "one-row spine-bounds attach",
+        "q_range_join": "theta join, broadcast build side by design",
+        "q_set_ops": "one-row count attach",
+    }
+    cart, rogue = [], []
+    for name, spec in sorted(qs.items()):
+        if {"streaming", "iterative"} & set(spec.tags):
+            continue
+        p = plan_string(spec.fn(spark, SF_DIR))
+        if "CartesianProduct" in p:
+            cart.append(name)
+        if "BroadcastNestedLoopJoin" in p and name not in allow_bnlj:
+            rogue.append(name)
+    assert not cart, f"CartesianProduct in: {cart}"
+    assert not rogue, (
+        f"BroadcastNestedLoopJoin outside the allowlist: {rogue} — "
+        "give the join an equi-key, broadcast a bounded side, or add "
+        "an allowlist entry with the bounded-side rationale"
+    )
