@@ -442,3 +442,19 @@ def test_no_cartesian_products_and_bnlj_allowlisted(spark, qs):
         "give the join an equi-key, broadcast a bounded side, or add "
         "an allowlist entry with the bounded-side rationale"
     )
+
+
+def test_plan_audit_artifact_covers_registry():
+    """PLAN_AUDIT.json must cover exactly the registered queries — a
+    registry change without `python scripts/plan_audit.py` fails here
+    (the invariants themselves are asserted live by the gates above;
+    this only keeps the committed census from rotting)."""
+    import json
+    from pathlib import Path
+
+    audit = json.loads(
+        (Path(__file__).resolve().parent.parent / "PLAN_AUDIT.json").read_text()
+    )["queries"]
+    assert set(audit) == set(all_queries()), (
+        "registry and PLAN_AUDIT.json diverge - rerun scripts/plan_audit.py"
+    )
