@@ -23,12 +23,26 @@ EXACT_SORT_MAX_BYTES = 2 << 30
 def _estimated_size_bytes(df: DataFrame) -> int:
     """Catalyst's estimated output size of the optimized plan, in bytes.
 
-    Returns -1 when the py4j surface is unavailable (never blocks the
-    query on an introspection failure).
+    Returns -1 when the estimate is unavailable OR not credible: leaves
+    Catalyst cannot size (LogicalRDD, some in-memory relations) default
+    to ``spark.sql.defaultSizeInBytes`` (Long.MaxValue out of the box),
+    and join estimates MULTIPLY child sizes — so a bogus leaf inflates
+    every plan above it. Gating on such a value would spuriously refuse
+    small inputs on a public API; "don't know" must mean "don't gate",
+    not "raise". Any estimate at or above defaultSizeInBytes (or
+    non-positive) is treated as unknown.
     """
     try:
+        sess = df.sparkSession
         stats = df._jdf.queryExecution().optimizedPlan().stats()
-        return int(str(stats.sizeInBytes()))
+        est = int(str(stats.sizeInBytes()))
+        try:
+            default = int(sess.conf.get("spark.sql.defaultSizeInBytes"))
+        except Exception:
+            default = 9223372036854775807  # Long.MaxValue, the stock default
+        if est <= 0 or est >= default:
+            return -1
+        return est
     except Exception:
         return -1
 

@@ -44,6 +44,39 @@ def test_size_estimate_is_sane(spark):
     assert 0 < est < pct.EXACT_SORT_MAX_BYTES
 
 
+def test_unestimable_input_not_gated(spark, monkeypatch):
+    # LogicalRDD leaves have no Catalyst size estimate — they report
+    # spark.sql.defaultSizeInBytes (Long.MaxValue stock), and joins
+    # MULTIPLY child estimates, so bogus sizes propagate upward. Those
+    # must read as "unknown" (gate skipped), not trip the budget and
+    # raise on a public API.
+    monkeypatch.setattr(pct, "EXACT_SORT_MAX_BYTES", 1)
+    rdd = spark.sparkContext.parallelize(
+        [(float(i % 97), i) for i in range(100)]
+    )
+    df = spark.createDataFrame(rdd, "v double, tie long")
+    assert pct._estimated_size_bytes(df.select("v", "tie")) == -1
+    out = pct.nearest_rank_percentiles(
+        df, "v", [("p50", 0.5)], tiebreak="tie"
+    ).collect()[0]
+    vals = sorted((i % 97, i) for i in range(100))
+    assert out["p50"] == float(vals[round(0.5 * 99)][0])
+
+
+def test_unestimable_join_product_not_gated(spark, monkeypatch):
+    # A join above an unestimable leaf inherits (multiplies) the bogus
+    # estimate; the guard must treat the whole plan as unknown.
+    monkeypatch.setattr(pct, "EXACT_SORT_MAX_BYTES", 1)
+    rdd = spark.sparkContext.parallelize([(float(i), i % 5) for i in range(50)])
+    left = spark.createDataFrame(rdd, "v double, k int")
+    right = spark.range(5).select(F.col("id").cast("int").alias("k"))
+    joined = left.join(right, "k").select("v")
+    assert pct._estimated_size_bytes(joined) == -1
+    out = pct.nearest_rank_percentiles(joined, "v", [("p50", 0.5)]).collect()[0]
+    # Spark F.round is HALF_UP: round(0.5 * 49) = 25 (not banker's 24).
+    assert out["p50"] == float(sorted(float(i) for i in range(50))[25])
+
+
 def test_grouped_variant_not_gated(spark, monkeypatch):
     # The per-key form sorts within key partitions (parallel) and must
     # stay usable past the global budget.
