@@ -148,3 +148,48 @@ def test_kernel_cache_repeat_invocation_stable(spark):
     first = {tuple(r) for r in qs["q_minhash_jaccard"].fn(spark, SF_DIR).collect()}
     second = {tuple(r) for r in qs["q_minhash_jaccard"].fn(spark, SF_DIR).collect()}
     assert first == second and len(first) > 0
+
+
+def test_prune_fraction_never_exceeds_threshold():
+    # The sizes-only Jaccard prune is only safe when its rational
+    # threshold p/q does NOT exceed the requested one; float(1/3) is a
+    # deterministic round-UP case (limit_denominator snaps to exactly
+    # 1/3, which is above the float), so it must step down.
+    from fractions import Fraction
+
+    from open_rust_timeseries_db_spark.operators.dedupe import prune_fraction
+
+    p, q = prune_fraction(1 / 3)
+    assert Fraction(p, q) <= Fraction(1 / 3)
+    assert Fraction(1 / 3) - Fraction(p, q) <= Fraction(1, 10**6)
+
+
+def test_prune_fraction_properties():
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from open_rust_timeseries_db_spark.operators.dedupe import prune_fraction
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.floats(min_value=1e-6, max_value=1.0, allow_nan=False),
+        st.integers(min_value=1, max_value=10**6),
+        st.integers(min_value=1, max_value=10**6),
+    )
+    def check(t, na, nb):
+        p, q = prune_fraction(t)
+        exact = Fraction(t)
+        # Never above the threshold, never more than 1e-6 below it.
+        assert Fraction(p, q) <= exact
+        assert exact - Fraction(p, q) <= Fraction(1, 10**6)
+        # Safety at the boundary: any pair whose sizes admit J >= t
+        # (the necessary condition with the EXACT threshold) must also
+        # pass the keep condition the operator evaluates with (p, q).
+        if (1 + exact) * min(na, nb) >= exact * (na + nb):
+            assert (q + p) * min(na, nb) >= p * (na + nb)
+        # No int64 overflow headroom concern: terms stay small.
+        assert q <= 10**6 and p <= q
+
+    check()
