@@ -104,6 +104,36 @@ _CKPT_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 # Sized for two live corpora (the pytest suite works sf0.001 and
 # sf0.01 in one session) x ~8 derived tables each, with headroom.
 _CKPT_CACHE_MAX = 32
+# persist=False entries are views over a persisted parent's cached
+# blocks; evicting the parent without them would leave memoized
+# children silently recomputing the full kernel pipeline per action.
+# Track the edges so eviction cascades and child hits keep ancestors
+# fresh in the LRU order.
+_CKPT_CHILDREN: dict[tuple, set] = {}
+_CKPT_PARENT: dict[tuple, tuple] = {}
+
+
+def _evict_ckpt_key(key: tuple) -> None:
+    """Drop one cache entry AND its derived (persist=False) children:
+    a child whose parent lost its blocks is a full-recompute trap."""
+    entry = _CKPT_CACHE.pop(key, None)
+    _CKPT_PARENT.pop(key, None)
+    for child in _CKPT_CHILDREN.pop(key, ()):
+        _evict_ckpt_key(child)
+    if entry is not None:
+        try:
+            entry.unpersist()
+        except Exception:  # pragma: no cover
+            pass
+
+
+def _touch_ckpt_ancestors(key: tuple) -> None:
+    """A hit on a derived view is a hit on its parent's blocks — keep
+    every ancestor at least as fresh as the child in the LRU order."""
+    pkey = _CKPT_PARENT.get(key)
+    while pkey is not None and pkey in _CKPT_CACHE:
+        _CKPT_CACHE.move_to_end(pkey)
+        pkey = _CKPT_PARENT.get(pkey)
 
 
 def mark_count(df: DataFrame, n: int) -> DataFrame:
@@ -166,6 +196,7 @@ def _cached_ckpt(
     key_parts: tuple,
     part_by: tuple[str, ...] | None = None,
     persist: bool = True,
+    parent: DataFrame | None = None,
 ) -> DataFrame:
     """Session-cache ``out`` once per (session, ``src`` plan, params).
 
@@ -220,18 +251,25 @@ def _cached_ckpt(
     hit = _CKPT_CACHE.get(key)
     if hit is not None:
         _CKPT_CACHE.move_to_end(key)
+        _touch_ckpt_ancestors(key)
         return hit
     if part_by:
         n = int(src.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         out = out.repartition(n, *part_by)
     mat = out.persist() if persist else out
+    try:
+        mat._orts_ckpt_key = key
+    except AttributeError:  # pragma: no cover
+        pass
     _CKPT_CACHE[key] = mat
+    if parent is not None:
+        pkey = getattr(parent, "_orts_ckpt_key", None)
+        if pkey is not None:
+            _CKPT_CHILDREN.setdefault(pkey, set()).add(key)
+            _CKPT_PARENT[key] = pkey
+            _touch_ckpt_ancestors(key)
     while len(_CKPT_CACHE) > _CKPT_CACHE_MAX:
-        _, old = _CKPT_CACHE.popitem(last=False)
-        try:
-            old.unpersist()
-        except Exception:  # pragma: no cover
-            pass
+        _evict_ckpt_key(next(iter(_CKPT_CACHE)))
     return mat
 
 
@@ -773,7 +811,8 @@ def doc_bigram_counts_ckpt(
     # (round-5 advice); the view reads the parent's cached blocks and
     # keeps its id partitioning.
     return _cached_ckpt(
-        docs, db, ("doc_bigram", id_col, text_col), persist=False
+        docs, db, ("doc_bigram", id_col, text_col), persist=False,
+        parent=grams,
     )
 
 
@@ -855,6 +894,7 @@ def shingle_profile_ckpt(
             derived,
             ("profile", id_col, text_col, n, n_perms),
             persist=False,
+            parent=full,
         )
     return _cached_ckpt(
         docs,
@@ -904,7 +944,8 @@ def doc_term_tf_ckpt(
     # persist=False: pure filter/projection of the cached doc_gram
     # parent (see doc_bigram_counts_ckpt).
     return _cached_ckpt(
-        docs, tf, ("doc_term_tf", id_col, text_col), persist=False
+        docs, tf, ("doc_term_tf", id_col, text_col), persist=False,
+        parent=grams,
     )
 
 
