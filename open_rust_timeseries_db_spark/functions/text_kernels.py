@@ -917,6 +917,30 @@ def simhash_signatures_ckpt(
     )
 
 
+def simhash_grouped_ckpt(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Signature-grouped SimHash table: (sig, sorted id array).
+
+    The exact-collapse groupBy (group identical signatures before any
+    banding — see operators/dedupe.simhash_pairs) is a pure function of
+    the immutable corpus, so it belongs with the other session
+    artifacts: materializing it once moves the pair pipeline's only
+    corpus-sized shuffle into the index-build phase, leaving the banded
+    pair query itself exchange-free on the broadcast path. At 100 TB
+    this is an ingest-maintained signature index (signature -> posting
+    list), the standard shape for near-dup serving.
+    """
+    sigs = simhash_signatures_ckpt(docs, id_col, text_col, bits)
+    gs = sigs.groupBy("sig").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    return _cached_ckpt(docs, gs, ("simhash_grouped", id_col, text_col, bits))
+
+
 def doc_term_tf_ckpt(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

