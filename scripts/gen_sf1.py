@@ -86,6 +86,136 @@ def _permute_text(text: str, seed: int) -> str:
     return " ".join(toks)
 
 
+def expected_dedup_clusters(doc_ids, texts) -> "pa.Table":
+    """Independent oracle for q_dedup_clusters: SimHash -> byte-band
+    candidate pairs -> union-find, all in numpy/stdlib (no Spark, no
+    DuckDB).
+
+    The DuckDB recursive-CTE oracle is exact but intractable past
+    ~sf0.1 (transitive closure materializes every (node, reachable
+    label) pair; >45 min at sf1), which left q_dedup_clusters the one
+    unchecked cell in the sf1 parity matrix. This reimplements the
+    SAME semantics a third way — md5 60-bit token hashes, per-occurrence
+    bitwise majority vote, 4x8-bit band blocking, Hamming <= 3, connected
+    components labeled by min doc_id — with path-compressed union-find,
+    which is near-linear instead of quadratic. Its faithfulness to the
+    recursive-CTE oracle is itself asserted at small SF
+    (tests/test_oracle_parity.py), so the sf1 tier check chains two
+    independently-verified oracles rather than trusting the engine.
+    """
+    import hashlib
+
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    n = len(ids)
+
+    # Per-token 60-bit md5 hashes (first 15 hex chars), memoized over
+    # the vocabulary; duplicate occurrences each vote, like the engine
+    # kernel and the SQL oracle.
+    tok_h: dict[str, int] = {}
+    doc_of: list[int] = []
+    hs: list[int] = []
+    has_tokens = np.zeros(n, dtype=bool)
+    for i, text in enumerate(texts):
+        if not isinstance(text, str):
+            continue
+        toks = [w for w in text.split(" ") if w]
+        if not toks:
+            continue
+        has_tokens[i] = True
+        for w in toks:
+            h = tok_h.get(w)
+            if h is None:
+                h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                tok_h[w] = h
+            hs.append(h)
+            doc_of.append(i)
+
+    sigs = np.zeros(n, dtype=np.int64)
+    if hs:
+        hs_a = np.asarray(hs, dtype=np.int64)
+        doc_a = np.asarray(doc_of, dtype=np.int64)
+        for j in range(32):
+            votes = np.bincount(
+                doc_a,
+                weights=(((hs_a >> j) & 1) * 2 - 1).astype(np.float64),
+                minlength=n,
+            )
+            sigs |= (votes > 0).astype(np.int64) << j
+
+    # Union-find over doc indices; path compression + union by size.
+    parent = np.arange(n, dtype=np.int64)
+    size = np.ones(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        if size[ra] < size[rb]:
+            ra, rb = rb, ra
+        parent[rb] = ra
+        size[ra] += size[rb]
+
+    # Same-signature docs are Hamming-0 pairs: chain-union each group.
+    sig_groups: dict[int, list[int]] = {}
+    for i in np.flatnonzero(has_tokens):
+        sig_groups.setdefault(int(sigs[i]), []).append(int(i))
+    for members in sig_groups.values():
+        for a, b in zip(members, members[1:]):
+            union(a, b)
+
+    # Cross-signature pairs via 4x8-bit band blocking over the DISTINCT
+    # signatures (perfect recall at Hamming <= 3 by pigeonhole).
+    uniq = sorted(sig_groups)
+    for band in range(4):
+        buckets: dict[int, list[int]] = {}
+        for s in uniq:
+            buckets.setdefault((s >> (8 * band)) & 255, []).append(s)
+        for members in buckets.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    if bin(members[x] ^ members[y]).count("1") <= 3:
+                        union(
+                            sig_groups[members[x]][0],
+                            sig_groups[members[y]][0],
+                        )
+
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    # Component label = min doc_id in the component.
+    order = np.argsort(ids, kind="stable")
+    label_of_root: dict[int, int] = {}
+    for i in order:
+        r = int(roots[i])
+        if r not in label_of_root:
+            label_of_root[r] = int(ids[i])
+    cluster_id = np.fromiter(
+        (label_of_root[int(r)] for r in roots), dtype=np.int64, count=n
+    )
+    sizes = {}
+    for c in cluster_id:
+        sizes[int(c)] = sizes.get(int(c), 0) + 1
+    cluster_size = np.fromiter(
+        (sizes[int(c)] for c in cluster_id), dtype=np.int64, count=n
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "cluster_id": pa.array(cluster_id, type=pa.int64()),
+            "cluster_size": pa.array(cluster_size, type=pa.int64()),
+            "is_canonical": pa.array(
+                (ids == cluster_id).astype(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
 def main() -> None:
     src = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
     dst = Path(
@@ -166,7 +296,16 @@ def main() -> None:
                 schema=dtbl.schema,
             )
         )
-    _write_grouped(pa.concat_tables(chunks), dst / "documents.parquet")
+    full_docs = pa.concat_tables(chunks)
+    _write_grouped(full_docs, dst / "documents.parquet")
+    # Precomputed q_dedup_clusters oracle for this tier (the recursive
+    # CTE is intractable at sf1): see expected_dedup_clusters.
+    pq.write_table(
+        expected_dedup_clusters(
+            full_docs["doc_id"].to_numpy(), full_docs["text"].to_pylist()
+        ),
+        dst / "expected_dedup_clusters.parquet",
+    )
 
     # embeddings: rolled-vector copies.
     etbl = t["embeddings"]

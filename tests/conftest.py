@@ -70,9 +70,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def assert_oracle_match(spark_df, duck_con, oracle_sql: str, name: str = "?"):
-    got = normalize(spark_df.toPandas())
-    want = normalize(duck_con.sql(oracle_sql).df())
+def assert_frames_match(
+    got_pdf: pd.DataFrame, want_pdf: pd.DataFrame, name: str = "?"
+):
+    """Order-insensitive exact frame compare (the oracle discipline),
+    usable against any expected frame — DuckDB result or a precomputed
+    parquet oracle."""
+    got = normalize(got_pdf)
+    want = normalize(want_pdf)
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch spark={list(got.columns)} oracle={list(want.columns)}"
     )
@@ -83,3 +88,9 @@ def assert_oracle_match(spark_df, duck_con, oracle_sql: str, name: str = "?"):
             {"spark": got[diff_mask].head(5), "oracle": want[diff_mask].head(5)}, axis=1
         )
         raise AssertionError(f"{name}: value mismatch on {int(diff_mask.sum())} rows\n{sample}")
+
+
+def assert_oracle_match(spark_df, duck_con, oracle_sql: str, name: str = "?"):
+    assert_frames_match(
+        spark_df.toPandas(), duck_con.sql(oracle_sql).df(), name=name
+    )

@@ -8,10 +8,13 @@ reproduce the driver's scale).
 
 from __future__ import annotations
 
+from pathlib import Path
+
+import pandas as pd
 import pytest
 
 from open_rust_timeseries_db_spark.queries import all_queries
-from tests.conftest import SF_DIR, assert_oracle_match
+from tests.conftest import SF_DIR, assert_frames_match, assert_oracle_match
 
 QUERIES = all_queries()
 ORACLE_CHECKED = sorted(n for n, s in QUERIES.items() if s.oracle)
@@ -22,7 +25,37 @@ ROWS_ONLY = sorted(n for n, s in QUERIES.items() if not s.oracle)
 def test_oracle_parity(spark, duck, name):
     spec = QUERIES[name]
     df = spec.fn(spark, SF_DIR)
+    if name == "q_dedup_clusters":
+        # Tiers where the recursive-CTE oracle is intractable (sf1)
+        # ship a precomputed union-find oracle next to the parquet
+        # (scripts/gen_sf1.expected_dedup_clusters); its faithfulness
+        # to the CTE oracle is asserted at small SF below.
+        exp = Path(SF_DIR) / "expected_dedup_clusters.parquet"
+        if exp.exists():
+            assert_frames_match(df.toPandas(), pd.read_parquet(exp), name=name)
+            return
     assert_oracle_match(df, duck, spec.oracle, name=name)
+
+
+def test_precomputed_cluster_oracle_matches_recursive_cte(duck):
+    """The union-find oracle (used where the CTE is intractable) must
+    agree bit-for-bit with the recursive-CTE oracle where BOTH run."""
+    import importlib.util
+
+    gen_path = Path(__file__).resolve().parent.parent / "scripts" / "gen_sf1.py"
+    mspec = importlib.util.spec_from_file_location("gen_sf1", gen_path)
+    gen_sf1 = importlib.util.module_from_spec(mspec)
+    mspec.loader.exec_module(gen_sf1)
+
+    docs = pd.read_parquet(Path(SF_DIR) / "documents.parquet")
+    got = gen_sf1.expected_dedup_clusters(
+        docs["doc_id"].to_numpy(), docs["text"].tolist()
+    ).to_pandas()
+    assert_frames_match(
+        got,
+        duck.sql(QUERIES["q_dedup_clusters"].oracle).df(),
+        name="precomputed_cluster_oracle",
+    )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
