@@ -81,10 +81,9 @@ def _assigned_ckpt(emb: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "q_cosine_topk",
-    f"""
-    WITH {_NORMS_CTE}, dots AS (
+# Exact brute-force scoring CTEs (q_cosine_topk; reused by the recall
+# gate q_ann_recall).
+_EXACT_CTES = f"""dots AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
              {sql_fx_sum("CAST(q.e AS DOUBLE) * CAST(e.e AS DOUBLE)")} AS dot
       FROM elems q
@@ -96,7 +95,13 @@ def _assigned_ckpt(emb: DataFrame) -> DataFrame:
       FROM dots d
       JOIN norms nq ON nq.vec_id = d.query_id
       JOIN norms ne ON ne.vec_id = d.neighbor_id
-    )
+    )"""
+
+
+@query(
+    "q_cosine_topk",
+    f"""
+    WITH {_NORMS_CTE}, {_EXACT_CTES}
     SELECT query_id, neighbor_id, cosine, rnk FROM (
       SELECT query_id, neighbor_id, cosine,
              CAST(ROW_NUMBER() OVER (
@@ -211,10 +216,8 @@ _ASSIGN_CTE = f"""
 """
 
 
-@query(
-    "q_ann_search",
-    f"""
-    WITH {_NORMS_CTE}, {_ASSIGN_CTE}, probes AS (
+# IVF probe-search CTEs (q_ann_search; reused by q_ann_recall).
+_PROBE_CTES = f"""probes AS (
       SELECT query_id, centroid_id FROM (
         SELECT a.vec_id AS query_id, a.centroid_id,
                ROW_NUMBER() OVER (
@@ -239,7 +242,13 @@ _ASSIGN_CTE = f"""
       FROM sdots d
       JOIN norms nq ON nq.vec_id = d.query_id
       JOIN norms nn ON nn.vec_id = d.neighbor_id
-    )
+    )"""
+
+
+@query(
+    "q_ann_search",
+    f"""
+    WITH {_NORMS_CTE}, {_ASSIGN_CTE}, {_PROBE_CTES}
     SELECT query_id, neighbor_id, cosine, rnk FROM (
       SELECT query_id, neighbor_id, cosine,
              CAST(ROW_NUMBER() OVER (
@@ -401,4 +410,59 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocked, block_col="centroid_id", threshold=_SEM_THRESHOLD
     ).select(
         "vec_a", "vec_b", "centroid_id", "cosine"
+    )
+
+
+@query(
+    "q_ann_recall",
+    f"""
+    WITH {_NORMS_CTE}, {_EXACT_CTES}, exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rnk
+        FROM cos)
+      WHERE rnk <= {_ANN_K}
+    ), {_ASSIGN_CTE}, {_PROBE_CTES}, approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rnk
+        FROM scos)
+      WHERE rnk <= {_ANN_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / {_ANN_K} AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    doc=f"ANN quality GATE: recall@{_ANN_K} of the IVF probe search "
+    "(q_ann_search) against the exact brute-force baseline "
+    "(q_cosine_topk), per query vector — the approximate path's "
+    "accuracy is an oracle-checked number, not a docstring claim. "
+    "Both rankings share the deterministic (cosine DESC, neighbor_id) "
+    "tie-break, so recall is exact in both engines. Scale: both "
+    "pipelines are already bounded (local top-k / cell probes); the "
+    "recall join touches Q*k rows.",
+    tags=("similarity", "ann", "recall"),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_ann_search(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hit"),
+            (F.count("hit").cast("double") / F.lit(float(_ANN_K))).alias(
+                "recall_at_k"
+            ),
+        )
     )

@@ -100,6 +100,8 @@ def test_python_confined_to_designated_operators(spark, qs):
         "q_cosine_topk",
         "q_ann_ivf",
         "q_ann_search",
+        # recall gate composes the two Arrow pipelines above
+        "q_ann_recall",
         "q_embedding_neardup",
         "q_frame_sample",
         # functions/text_kernels.py consumers (shingle/MinHash/SimHash
