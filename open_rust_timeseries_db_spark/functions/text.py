@@ -31,10 +31,25 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(c, " "), lambda t: t != F.lit(""))
 
 
+def tokens_expr(col: str = "text") -> str:
+    """Spark-SQL string form of :func:`tokens` — for selectExpr-built
+    plans (each Python-side lambda HOF costs several py4j round trips
+    of plan-build latency; one parsed SQL string costs none)."""
+    return f"filter(split({col}, ' '), t -> t != '')"
+
+
 def marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     """Count of tokens that are in the marker set -> BIGINT."""
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+
+
+def marker_hits_expr(toks: str, markers: tuple[str, ...]) -> str:
+    """Spark-SQL string form of :func:`marker_hits` (t IN (...) is
+    equivalent to array_contains for the non-null string tokens the
+    tokenizer emits)."""
+    lst = ", ".join("'" + m + "'" for m in markers)
+    return f"CAST(size(filter({toks}, t -> t IN ({lst}))) AS BIGINT)"
 
 
 def word_shingles(toks: Column, n: int = 3) -> Column:

@@ -44,16 +44,28 @@ def _rev_pairs_sql(expr: str) -> str:
     return f"concat({pairs})"
 
 
-def _le_hex(col: F.Column) -> F.Column:
-    """Spark: BIGINT -> 16-char big-endian hex -> little-endian pairs."""
-    be = F.lpad(F.hex(col), _WIDTH, "0")
-    return F.concat(*[F.substring(be, i, 2) for i in range(_WIDTH - 1, 0, -2)])
+def _le_hex_spark(expr: str) -> str:
+    """Spark SQL: BIGINT -> 16-char big-endian hex -> little-endian pairs.
+
+    A SQL string, not Column algebra: the byte-pair reversal is ~10
+    nested expression nodes per payload and this builder constructs
+    four of them — as Columns that was ~50 py4j round-trips of pure
+    plan-build latency per invocation (round-6 measurement: 0.24 ms per
+    call); one selectExpr parse replaces them all JVM-side.
+    """
+    be = f"lpad(hex({expr}), {_WIDTH}, '0')"
+    pairs = ", ".join(
+        f"substring({be}, {i}, 2)" for i in range(_WIDTH - 1, 0, -2)
+    )
+    return f"concat({pairs})"
 
 
-def _le_decode(col: F.Column) -> F.Column:
-    """Spark: little-endian 16-char hex payload -> BIGINT."""
-    be = F.concat(*[F.substring(col, i, 2) for i in range(_WIDTH - 1, 0, -2)])
-    return F.conv(be, 16, 10).cast("bigint")
+def _le_decode_spark(col: str) -> str:
+    """Spark SQL: little-endian 16-char hex payload -> BIGINT."""
+    pairs = ", ".join(
+        f"substring({col}, {i}, 2)" for i in range(_WIDTH - 1, 0, -2)
+    )
+    return f"CAST(conv(concat({pairs}), 16, 10) AS BIGINT)"
 
 
 @query(
@@ -78,20 +90,19 @@ def _le_decode(col: F.Column) -> F.Column:
 )
 def q_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_us(spark, sf_dir).filter(F.col("event_id") % 7 == 0)
-    value_fx = F.floor(F.col("value") * 1e6).cast("bigint")
-    enc = ev.select(
+    enc = ev.selectExpr(
         "event_id",
-        _le_hex(F.col("user_id")).alias("user_payload"),
-        _le_hex(value_fx).alias("value_payload"),
+        f"{_le_hex_spark('user_id')} AS user_payload",
+        f"{_le_hex_spark('CAST(FLOOR(value * 1e6) AS BIGINT)')} AS value_payload",
     )
     # Decode from the payloads themselves (true roundtrip, not a copy of
     # the source columns).
-    return enc.select(
+    return enc.selectExpr(
         "event_id",
         "user_payload",
         "value_payload",
-        _le_decode(F.col("user_payload")).alias("user_id_dec"),
-        _le_decode(F.col("value_payload")).alias("value_fx_dec"),
+        f"{_le_decode_spark('user_payload')} AS user_id_dec",
+        f"{_le_decode_spark('value_payload')} AS value_fx_dec",
     )
 
 

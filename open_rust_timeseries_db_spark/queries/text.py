@@ -17,7 +17,9 @@ from open_rust_timeseries_db_spark.functions.text import (
     STOPWORDS,
     fingerprint,
     marker_hits,
+    marker_hits_expr,
     tokens,
+    tokens_expr,
 )
 from open_rust_timeseries_db_spark.queries.helpers import spread_scan
 from open_rust_timeseries_db_spark.queries.registry import query
@@ -119,27 +121,29 @@ _LANG_CASE_SQL = """
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
-    # Tokenize ONCE through an intermediate projection: inlining
-    # tokens("text") into the four marker counts re-evaluates the
-    # split per language (lambda HOFs defeat common-subexpression
-    # elimination — the sf1 plan showed 4x split(text) per row).
-    scored = docs.select("doc_id", tokens("text").alias("_toks")).select(
+    # Tokenize ONCE through an intermediate projection: inlining the
+    # tokenizer into the four marker counts re-evaluates the split per
+    # language (lambda HOFs defeat common-subexpression elimination —
+    # the sf1 plan showed 4x split(text) per row). selectExpr strings,
+    # not Column algebra: the marker-count family was ~200 ms of py4j
+    # plan-build per invocation (round-6: 0.24 ms/call).
+    scored = docs.selectExpr(
+        "doc_id", f"{tokens_expr('text')} AS _toks"
+    ).selectExpr(
         "doc_id",
         *[
-            marker_hits(F.col("_toks"), markers).alias(f"{lang}_hits")
+            f"{marker_hits_expr('_toks', markers)} AS {lang}_hits"
             for lang, markers in LANG_MARKERS.items()
         ],
     )
-    en, de, es, fr = [F.col(f"{x}_hits") for x in ("en", "de", "es", "fr")]
-    guess = (
-        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
-        .when((de >= es) & (de >= fr) & (de > 0), "de")
-        .when((es >= fr) & (es > 0), "es")
-        .when(fr > 0, "fr")
-        .otherwise("unknown")
-    )
-    return scored.select(
-        "doc_id", "en_hits", "de_hits", "es_hits", "fr_hits", guess.alias("guess")
+    # _LANG_CASE_SQL is ANSI CASE shared verbatim with the oracle.
+    return scored.selectExpr(
+        "doc_id",
+        "en_hits",
+        "de_hits",
+        "es_hits",
+        "fr_hits",
+        f"{_LANG_CASE_SQL} AS guess",
     )
 
 
@@ -172,35 +176,32 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_scan(load_table(spark, sf_dir, "documents"))
     # Tokenize once via an intermediate projection (same rationale as
-    # q_lang_id: lambda HOFs defeat CSE, so inlining re-splits per use).
-    toks = F.col("_toks")
-    t = docs.select(
-        "doc_id", "text", tokens("text").alias("_toks")
-    ).select(
+    # q_lang_id: lambda HOFs defeat CSE, so inlining re-splits per
+    # use); selectExpr strings for the same plan-build reason.
+    t = docs.selectExpr(
+        "doc_id", "text", f"{tokens_expr('text')} AS _toks"
+    ).selectExpr(
         "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
-        marker_hits(toks, STOPWORDS).alias("stop_hits"),
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("bigint").alias(
-            "n_letters"
-        ),
+        "CAST(size(_toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(_toks)) AS BIGINT) AS n_distinct",
+        f"{marker_hits_expr('_toks', STOPWORDS)} AS stop_hits",
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters",
     )
-    n_tok = F.col("n_tokens")
-    stop_ratio = F.col("stop_hits").cast("double") / n_tok
-    ttr = F.col("n_distinct").cast("double") / n_tok
-    return t.select(
+    return t.selectExpr(
         "doc_id",
         "n_tokens",
         "n_distinct",
         "stop_hits",
-        (F.col("n_letters").cast("double") / n_tok).alias("avg_token_len"),
-        stop_ratio.alias("stop_ratio"),
-        ttr.alias("ttr"),
-        (
-            F.lit(0.3) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
-            + F.lit(0.4) * (F.lit(1.0) - stop_ratio)
-            + F.lit(0.3) * ttr
-        ).alias("quality"),
+        "CAST(n_letters AS DOUBLE) / n_tokens AS avg_token_len",
+        "CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio",
+        "CAST(n_distinct AS DOUBLE) / n_tokens AS ttr",
+        # D-suffixed literals: bare 0.3/1.0 parse as DECIMAL in Spark
+        # SQL and would flip the whole expression into decimal
+        # arithmetic (the Column form used double literals; the oracle
+        # equality is defined on IEEE double math).
+        "0.3D * least(1.0D, n_tokens / 100.0D)"
+        " + 0.4D * (1.0D - CAST(stop_hits AS DOUBLE) / n_tokens)"
+        " + 0.3D * (CAST(n_distinct AS DOUBLE) / n_tokens) AS quality",
     )
 
 
