@@ -50,6 +50,33 @@ SWEEP = [
 ]
 
 
+def skewed_documents(spark, sf_dir: str, hot_every: int = 100):
+    """The sf_dir documents corpus with a deliberately HOT LSH bucket:
+    every ``hot_every``-th doc's text is replaced by one shared 40-token
+    phrase plus a per-doc unique tail token.
+
+    The hot docs all share ~38 of ~41 shingles (pairwise Jaccard ~0.86),
+    so every shared shingle's bucket — and, via near-identical MinHash
+    signatures, the band buckets — holds the whole 1% cohort: the
+    bucket-size distribution becomes 25-50x skewed vs the organic
+    corpus. This is the regime the grouped inline-expansion path's
+    per-bucket O(c^2) work is feared for; the skew sweep times it and
+    gates result parity between the physical paths on it.
+    """
+    from open_rust_timeseries_db_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hot = " ".join(f"hotphrase{i}" for i in range(40))
+    return docs.selectExpr(
+        "doc_id",
+        f"CASE WHEN doc_id % {hot_every} = 1 THEN "
+        f"'{hot} uniq' || CAST(doc_id AS STRING) ELSE text END AS text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
@@ -87,9 +114,45 @@ def main() -> None:
 
     default_t = {name: run_warm(name) for name in SWEEP}
 
+    # HOT-BUCKET SKEW TIER (round-8): the same strategy flip, but on a
+    # corpus where one cohort (~1% of docs) shares one phrase — every
+    # shared shingle/band bucket holds the whole cohort, so the grouped
+    # path's per-bucket O(c^2) expansion meets a genuinely hot bucket
+    # instead of the organic corpus's 1-3-member buckets. Timed warm
+    # both ways; parity of the two physical paths is ASSERTED here (and
+    # unit-tested at sf0.001 in tests/test_dedupe_ops.py).
+    sk = skewed_documents(spark, sf_dir).persist()
+    sk.count()
+
+    def skew_ops():
+        return {
+            "skew_minhash_neardup": lambda: dd.minhash_neardup(sk),
+            "skew_exact_jaccard": lambda: dd.exact_jaccard(sk, None),
+            "skew_simhash_pairs": lambda: dd.simhash_pairs(
+                dd.simhash_signatures(sk)
+            ),
+        }
+
+    def run_warm_op(fn) -> tuple[float, int]:
+        n = 0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn().count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4), n
+
+    skew_default = {k: run_warm_op(f) for k, f in skew_ops().items()}
+
     dd.BROADCAST_MAX_BYTES = 0
     gr.DRIVER_CC_MAX_EDGES = 0
     forced_t = {name: run_warm(name) for name in SWEEP}
+    skew_forced = {k: run_warm_op(f) for k, f in skew_ops().items()}
+    for k in skew_default:
+        assert skew_default[k][1] == skew_forced[k][1], (
+            f"{k}: hot-bucket row-count parity broke between physical "
+            f"paths ({skew_default[k][1]} vs {skew_forced[k][1]})"
+        )
 
     out = {
         "sf_dir": sf_dir,
@@ -119,6 +182,27 @@ def main() -> None:
                 else None,
             }
             for name in SWEEP
+        },
+        "skew": {
+            "policy": (
+                "hot-bucket tier: 1% of docs share one 40-token phrase "
+                "(one bucket holds the whole cohort; 25-50x bucket-size "
+                "skew). Same warm min-of-2 both phases; row counts "
+                "asserted equal between the physical paths."
+            ),
+            "queries": {
+                k: {
+                    "default_warm_sec": skew_default[k][0],
+                    "forced_scale_warm_sec": skew_forced[k][0],
+                    "rows": skew_default[k][1],
+                    "ratio": round(
+                        skew_forced[k][0] / skew_default[k][0], 2
+                    )
+                    if skew_default[k][0] > 0
+                    else None,
+                }
+                for k in skew_default
+            },
         },
     }
     path = Path(__file__).resolve().parent.parent / "SCALE_BENCH.json"

@@ -193,3 +193,57 @@ def test_prune_fraction_properties():
         assert q <= 10**6 and p <= q
 
     check()
+
+
+def test_hot_bucket_skew_paths_agree(spark, monkeypatch):
+    """Hot-LSH-bucket stress: 10% of a tiny corpus shares one phrase,
+    so one bucket holds the whole cohort — the per-bucket O(c^2) regime
+    the grouped scale path is feared for. Both physical paths must
+    produce identical pairs, and the exact-Jaccard verifier must find
+    exactly the full hot clique."""
+    import importlib.util
+    from pathlib import Path
+
+    import open_rust_timeseries_db_spark.operators.dedupe as dd
+    import open_rust_timeseries_db_spark.queries.registry as registry
+
+    sb_path = Path(__file__).resolve().parent.parent / "scripts" / "scale_bench.py"
+    mspec = importlib.util.spec_from_file_location("scale_bench", sb_path)
+    sb = importlib.util.module_from_spec(mspec)
+    mspec.loader.exec_module(sb)
+
+    monkeypatch.setattr(registry, "PLAN_MEMO_ENABLED", False)
+    sk = sb.skewed_documents(spark, "/root/testdata/sf0.001", hot_every=10)
+    hot_ids = {r["doc_id"] for r in sk.filter("doc_id % 10 = 1").select("doc_id").collect()}
+    n_hot = len(hot_ids)
+    assert n_hot >= 40  # the cohort is actually hot
+
+    def run_all():
+        return {
+            "near": {tuple(r) for r in dd.minhash_neardup(sk).collect()},
+            "ej": {tuple(r) for r in dd.exact_jaccard(sk, None).collect()},
+            "sh": {
+                tuple(r)
+                for r in dd.simhash_pairs(dd.simhash_signatures(sk)).collect()
+            },
+        }
+
+    broadcast = run_all()
+    monkeypatch.setattr(dd, "BROADCAST_MAX_BYTES", 0)
+    forced = run_all()
+    for k in broadcast:
+        assert broadcast[k] == forced[k], (
+            f"{k}: hot-bucket results diverge between physical paths"
+        )
+
+    # The exact verifier has perfect recall on shared shingles: the
+    # full hot clique (38 of 40 shingles shared pairwise -> J = 0.95)
+    # must be present, every pair with the same exact Jaccard.
+    clique = n_hot * (n_hot - 1) // 2
+    hot_ej = [r for r in broadcast["ej"] if r[0] in hot_ids and r[1] in hot_ids]
+    assert len(hot_ej) == clique
+    assert all(abs(r[5] - 38 / 40) < 1e-12 for r in hot_ej)
+    # Banded MinHash-LSH at J=0.95 recalls (deterministically, fixed
+    # hash family) essentially the whole clique.
+    hot_near = [r for r in broadcast["near"] if r[0] in hot_ids and r[1] in hot_ids]
+    assert len(hot_near) >= int(0.9 * clique)
