@@ -37,6 +37,11 @@ def test_oracle_parity(spark, duck, name):
     assert_oracle_match(df, duck, spec.oracle, name=name)
 
 
+@pytest.mark.skipif(
+    (Path(SF_DIR) / "expected_dedup_clusters.parquet").exists(),
+    reason="tier ships the precomputed oracle because the recursive CTE "
+    "is intractable there; the bridge is asserted at small SF",
+)
 def test_precomputed_cluster_oracle_matches_recursive_cte(duck):
     """The union-find oracle (used where the CTE is intractable) must
     agree bit-for-bit with the recursive-CTE oracle where BOTH run."""
