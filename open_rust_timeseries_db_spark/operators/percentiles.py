@@ -70,24 +70,42 @@ def nearest_rank_percentiles(
             "Use approx_percentiles (one-pass mergeable sketch) or "
             "nearest_rank_percentiles_by (per-key parallel sort) at this scale."
         )
-    order = [F.col(value_col)] + ([F.col(tiebreak)] if tiebreak else [])
-    w = Window.orderBy(*order)
-    ranked = df.select(
-        F.col(value_col),
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("__n"),
+    # HISTOGRAM-BASED SELECTION, not a row-level sort: the value at
+    # nearest-rank r under (value, tiebreak) order is the value whose
+    # cumulative count first reaches r — the tiebreak only permutes
+    # rows WITHIN an equal-value run, which cannot change which value
+    # covers a rank. So the heavy work is one fully-parallel
+    # map-side-combined groupBy(value) (the ``tiebreak`` argument is
+    # kept for API stability and documentation of the order the rank
+    # refers to), and only the distinct-value histogram — typically
+    # orders of magnitude smaller than the rows — flows through the
+    # cumulative window. Degenerate worst case (all values distinct)
+    # falls back to exactly the old row-level sort volume, which is
+    # what the size gate above protects against.
+    del tiebreak  # rank selection provably independent of tie order
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    aggs = [
-        F.max(
-            F.when(
-                F.col("__rn")
-                == F.round(F.lit(p) * (F.col("__n") - 1)).cast("bigint") + 1,
-                F.col(value_col),
-            )
-        ).alias(name)
-        for name, p in percentiles
-    ]
-    return ranked.agg(*aggs)
+    cum = hist.select(
+        F.col(value_col),
+        F.col("__c"),
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy()).alias("__n"),
+    )
+    aggs = []
+    for name, p in percentiles:
+        r = F.round(F.lit(p) * (F.col("__n") - 1)).cast("bigint") + 1
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("__cum") - F.col("__c") < r)
+                    & (r <= F.col("__cum")),
+                    F.col(value_col),
+                )
+            ).alias(name)
+        )
+    return cum.agg(*aggs)
 
 
 def approx_percentiles(
@@ -120,22 +138,41 @@ def nearest_rank_percentiles_by(
     form's single-task sort does not — the usual way exact percentiles
     survive at scale is exactly this, computing them per shard/tenant).
     """
-    order = [F.col(value_col)] + ([F.col(tiebreak)] if tiebreak else [])
-    w = Window.partitionBy(key_col).orderBy(*order)
-    ranked = df.select(
+    # Same histogram-based selection as the global form (see there for
+    # the tie-order argument), scoped per key. This is the shape that
+    # survives LOW-cardinality keys at scale: the old per-key
+    # row_number window serialized each key's FULL row set through one
+    # task (5 event types = 5 busy tasks on a 1000-executor cluster);
+    # here the row-level pass is a fully-parallel map-side-combined
+    # groupBy(key, value), and only the per-key distinct-value
+    # histogram crosses the window.
+    del tiebreak  # rank selection provably independent of tie order
+    hist = df.groupBy(key_col, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
         F.col(key_col),
         F.col(value_col),
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(Window.partitionBy(key_col)).alias("__n"),
+        F.col("__c"),
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy(key_col)).alias("__n"),
     )
-    aggs = [
-        F.max(
-            F.when(
-                F.col("__rn")
-                == F.round(F.lit(p) * (F.col("__n") - 1)).cast("bigint") + 1,
-                F.col(value_col),
-            )
-        ).alias(name)
-        for name, p in percentiles
-    ] + [F.max("__n").cast("bigint").alias("n")]
-    return ranked.groupBy(key_col).agg(*aggs)
+    aggs = []
+    for name, p in percentiles:
+        r = F.round(F.lit(p) * (F.col("__n") - 1)).cast("bigint") + 1
+        aggs.append(
+            F.max(
+                F.when(
+                    (F.col("__cum") - F.col("__c") < r)
+                    & (r <= F.col("__cum")),
+                    F.col(value_col),
+                )
+            ).alias(name)
+        )
+    aggs.append(F.max("__n").cast("bigint").alias("n"))
+    return cum.groupBy(key_col).agg(*aggs)
