@@ -26,6 +26,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Cutover policy for the broadcast-probe strategy (same knob family as
+# operators/dedupe.BROADCAST_MAX_BYTES): the right side must fit a
+# broadcast AND the left side must dwarf it. The probe's array HOFs are
+# CodegenFallback (interpreted per row), so the strategy only pays when
+# avoiding the LEFT side's shuffle dominates — measured at sf1: 1M-left
+# / 1k-right runs 0.40-0.74 s broadcast vs 1.57-1.64 s window, while
+# the symmetric 200k/200k shape runs ~2x SLOWER on the probe. 16x is
+# the conservative line between those endpoints; unestimable sides
+# always take the window path (safe at any size).
+BROADCAST_RIGHT_MAX_BYTES = 64 << 20
+BROADCAST_MIN_LEFT_RIGHT_RATIO = 16
+
 
 def asof_join(
     left: DataFrame,
@@ -37,6 +49,7 @@ def asof_join(
     tiebreak: str | None = None,
     how: str = "inner",
     direction: str = "backward",
+    strategy: str = "auto",
 ) -> DataFrame:
     """As-of join of ``left`` to ``right`` on key ``on``.
 
@@ -50,11 +63,33 @@ def asof_join(
     ``right_values`` are carried to the output as ``asof_<name>``;
     ``asof_ts`` carries the matched right timestamp. ``how`` is
     ``"inner"`` (drop left rows with no match) or ``"left"``.
+
+    ``strategy``: ``"window"`` = union + ordered window (one hash
+    shuffle of both inputs — the any-size shape); ``"broadcast"`` =
+    group the right side into per-key sorted arrays, broadcast them,
+    and probe per left row with codegen'd array HOFs — the LEFT side
+    never shuffles, which is the production shape when the quote/dim
+    stream is small (the common case: ticks >> quotes); ``"auto"``
+    (default) picks broadcast when the right projection's Catalyst
+    estimate fits ``BROADCAST_RIGHT_MAX_BYTES``, else window. Both
+    paths are result-identical (hypothesis-tested against a linear
+    scan and each other).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if strategy not in ("auto", "window", "broadcast"):
+        raise ValueError(f"strategy must be auto|window|broadcast, got {strategy!r}")
+
+    if strategy == "broadcast" or (
+        strategy == "auto"
+        and _broadcast_pays(left, right, on, left_ts, right_ts, right_values, tiebreak)
+    ):
+        return _asof_broadcast(
+            left, right, on, left_ts, right_ts, right_values,
+            tiebreak, how, direction,
+        )
 
     l_cols = left.columns
     # Right rows carry the tiebreak so equal-ts right duplicates have a
@@ -106,6 +141,88 @@ def asof_join(
     ).filter(F.col("__left").isNotNull())
 
     out = matched.select("__left.*", "asof_ts", *[f"asof_{c}" for c in right_values])
+    if how == "inner":
+        out = out.filter(F.col("asof_ts").isNotNull())
+    return out
+
+
+def _broadcast_pays(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    tiebreak: str | None,
+) -> bool:
+    """Catalyst-estimate gate: right fits the broadcast budget AND the
+    left is at least BROADCAST_MIN_LEFT_RIGHT_RATIO times bigger (the
+    interpreted probe only pays when it saves a much larger left
+    shuffle — see the knob comment). Unestimable sides (estimate -1,
+    same "don't know means don't gate" estimator as the percentile
+    operator) take the window path, the shape safe at any size."""
+    from open_rust_timeseries_db_spark.operators.percentiles import (
+        _estimated_size_bytes,
+    )
+
+    cols = [on, right_ts, *right_values] + ([tiebreak] if tiebreak else [])
+    r_est = _estimated_size_bytes(right.select(*dict.fromkeys(cols)))
+    if not (0 < r_est <= BROADCAST_RIGHT_MAX_BYTES):
+        return False
+    l_est = _estimated_size_bytes(left.select(on, left_ts))
+    return l_est >= BROADCAST_MIN_LEFT_RIGHT_RATIO * r_est
+
+
+def _asof_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    tiebreak: str | None,
+    how: str,
+    direction: str,
+) -> DataFrame:
+    """Broadcast-probe as-of: per-key sorted right arrays, probed with
+    codegen'd array HOFs — the left side never shuffles.
+
+    The right side collapses to one array row per key, sorted by
+    (right_ts, tiebreak): the match for a left row is the LAST array
+    element with ``rts <= lts`` (backward) or the last element sharing
+    the SMALLEST ``rts >= lts`` (forward) — identical picks to the
+    union+window path's running ``last()`` over (ts, tag, tiebreak)
+    order. Per-left-row cost is O(right rows of that key), fused into
+    whole-stage codegen; the one shuffle left anywhere is the (small)
+    right side's groupBy.
+    """
+    struct_fields = [F.col(right_ts).cast("long").alias("__rts")]
+    if tiebreak:
+        struct_fields.append(F.col(tiebreak).cast("long").alias("__tb"))
+    struct_fields += [F.col(c).alias(f"__rv_{c}") for c in right_values]
+    rgrp = (
+        right.select(F.col(on).alias("__key"), F.struct(*struct_fields).alias("__r"))
+        .groupBy("__key")
+        .agg(F.sort_array(F.collect_list("__r")).alias("__rarr"))
+    )
+    lts = F.col(left_ts).cast("long")
+    arr = F.col("__rarr")
+    if direction == "backward":
+        n_le = F.size(F.filter(arr, lambda x: x["__rts"] <= lts))
+        matched = F.get(arr, n_le - 1)
+    else:
+        n_lt = F.size(F.filter(arr, lambda x: x["__rts"] < lts))
+        first_ge_ts = F.get(arr, n_lt)["__rts"]
+        n_le_match = F.size(F.filter(arr, lambda x: x["__rts"] <= first_ge_ts))
+        matched = F.get(arr, n_le_match - 1)
+    out = (
+        left.join(F.broadcast(rgrp), left[on] == F.col("__key"), "left")
+        .select(
+            *left.columns,
+            matched["__rts"].alias("asof_ts"),
+            *[matched[f"__rv_{c}"].alias(f"asof_{c}") for c in right_values],
+        )
+    )
     if how == "inner":
         out = out.filter(F.col("asof_ts").isNotNull())
     return out

@@ -49,8 +49,12 @@ def _naive(left, right, direction, how):
     data=sides(),
     direction=st.sampled_from(["backward", "forward"]),
     how=st.sampled_from(["inner", "left"]),
+    # Both physical strategies must match the linear scan: the
+    # union+window any-size shape AND the broadcast-probe shape
+    # (per-key sorted right arrays, codegen'd HOF probe).
+    strategy=st.sampled_from(["window", "broadcast"]),
 )
-def test_asof_join_matches_linear_scan(spark, data, direction, how):
+def test_asof_join_matches_linear_scan(spark, data, direction, how, strategy):
     left_rows, right_rows = data
     right_rows = [(k, t, k * 100 + t) for k, t in right_rows]
     left = spark.createDataFrame(
@@ -66,6 +70,7 @@ def test_asof_join_matches_linear_scan(spark, data, direction, how):
     out = asof_join(
         left, right, on="k", left_ts="lts", right_ts="rts",
         right_values=["px"], how=how, direction=direction,
+        strategy=strategy,
     )
     got = sorted(
         (
