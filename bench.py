@@ -242,11 +242,15 @@ def compact_stdout_line(
     }
     line = json.dumps(compact, separators=(",", ":"))
     # Hard guarantee, not a hope: 7 rounds of BENCH_r*.json carried
-    # "parsed": null because the full-map line was ~6k chars.
-    assert len(line) <= 1900, (
-        f"bench stdout line is {len(line)} chars; must stay <= 1900 to "
-        "fit the recording driver's 2000-char stdout tail window"
-    )
+    # "parsed": null because the full-map line was ~6k chars. A real
+    # exception (assert would vanish under python -O); callers tee the
+    # full result BEFORE printing, so an oversized line can never
+    # discard a completed run's measurements.
+    if len(line) > 1900:
+        raise RuntimeError(
+            f"bench stdout line is {len(line)} chars; must stay <= 1900 "
+            "to fit the recording driver's 2000-char stdout tail window"
+        )
     return line, {v: k for k, v in qids.items()}
 
 
@@ -365,12 +369,12 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     cold_total = round(sum(cold.values()) + sum(cache_builds.values()), 4)
     cache_build_total = round(sum(cache_builds.values()), 4)
-    line, id_names = compact_stdout_line(
-        timings, cold_total, cache_build_total, sf, total
-    )
     # Full-fidelity record (4-decimal values, per-query cold pass,
     # cache-build lines, the qid -> name map) travels in the tee —
-    # committed per roll as BENCH_LOCAL.json.
+    # committed per roll as BENCH_LOCAL.json. Teed BEFORE the compact
+    # stdout line is built: if the line ever outgrows its budget the
+    # run's measurements are already on disk, not discarded.
+    qids = {name: f"q{i + 1}" for i, name in enumerate(sorted(timings))}
     result = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -381,9 +385,8 @@ def main() -> None:
         "cache_build_total": cache_build_total,
         "cold_total": cold_total,
         "sf": sf,
-        "query_ids": id_names,
+        "query_ids": {v: k for k, v in qids.items()},
     }
-    print(line)
     if not os.environ.get("SPARK_GRAFT_ONLY"):
         try:
             (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
@@ -391,6 +394,10 @@ def main() -> None:
             )
         except OSError:
             pass  # read-only checkout: stdout already has the result
+    line, _ = compact_stdout_line(
+        timings, cold_total, cache_build_total, sf, total
+    )
+    print(line)
     spark.stop()
 
 

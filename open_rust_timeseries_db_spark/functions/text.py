@@ -47,8 +47,13 @@ def marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
 def marker_hits_expr(toks: str, markers: tuple[str, ...]) -> str:
     """Spark-SQL string form of :func:`marker_hits` (t IN (...) is
     equivalent to array_contains for the non-null string tokens the
-    tokenizer emits)."""
-    lst = ", ".join("'" + m + "'" for m in markers)
+    tokenizer emits). Marker strings are escaped — contractions like
+    "don't" are routine in stopword lists, and the Column form this
+    mirrors accepted any string via F.lit."""
+    def q(m: str) -> str:
+        return "'" + m.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    lst = ", ".join(q(m) for m in markers)
     return f"CAST(size(filter({toks}, t -> t IN ({lst}))) AS BIGINT)"
 
 

@@ -215,8 +215,12 @@ def _asof_broadcast(
         first_ge_ts = F.get(arr, n_lt)["__rts"]
         n_le_match = F.size(F.filter(arr, lambda x: x["__rts"] <= first_ge_ts))
         matched = F.get(arr, n_le_match - 1)
+    # eqNullSafe: the window strategy groups NULL keys into one
+    # partition (null left rows match null right rows), so the probe
+    # join must treat NULL keys the same way or strategy="auto" would
+    # silently change results across the size cutover.
     out = (
-        left.join(F.broadcast(rgrp), left[on] == F.col("__key"), "left")
+        left.join(F.broadcast(rgrp), left[on].eqNullSafe(F.col("__key")), "left")
         .select(
             *left.columns,
             matched["__rts"].alias("asof_ts"),

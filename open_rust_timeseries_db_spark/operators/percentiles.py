@@ -40,7 +40,15 @@ def _estimated_size_bytes(df: DataFrame) -> int:
             default = int(sess.conf.get("spark.sql.defaultSizeInBytes"))
         except Exception:
             default = 9223372036854775807  # Long.MaxValue, the stock default
-        if est <= 0 or est >= default:
+        # Equality with defaultSizeInBytes is NOT enough: Catalyst
+        # SCALES a leaf's estimate by the projection's column-width
+        # ratio, so a bogus Long.MaxValue leaf seen through a narrow
+        # select lands just below it (measured: a 3-column LogicalRDD
+        # projected to 1 column estimated 3.35e18 "bytes" for 100
+        # rows). Anything past 1 PiB cannot be a real single-frame
+        # estimate (a 100 TB table is 1e14) and is treated as unknown.
+        sanity_max = 1 << 50
+        if est <= 0 or est >= default or est > sanity_max:
             return -1
         return est
     except Exception:

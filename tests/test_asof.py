@@ -124,3 +124,26 @@ def test_forward_duplicate_right_ts_tiebreak(spark):
         tiebreak="seq",
     )
     assert got == {(1, 100): (200, 2.0)}
+
+
+def test_null_keys_match_across_strategies(spark):
+    """NULL join keys group together in the window strategy (nulls
+    match each other in partitionBy); the broadcast probe must treat
+    them identically (eqNullSafe) or strategy='auto' silently changes
+    results across the size cutover."""
+    left = spark.createDataFrame([(None, 5), (1, 5)], "k int, lts int")
+    right = spark.createDataFrame(
+        [(None, 3, 10.0), (1, 3, 20.0)], "k int, rts int, px double"
+    )
+    results = {}
+    for strategy in ("window", "broadcast"):
+        out = asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_values=["px"], how="left", strategy=strategy,
+        )
+        results[strategy] = sorted(
+            ((r["k"], r["lts"], r["asof_ts"], r["asof_px"]) for r in out.collect()),
+            key=str,
+        )
+    assert results["window"] == results["broadcast"]
+    assert (None, 5, 3, 10.0) in results["window"]

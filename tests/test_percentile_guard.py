@@ -63,6 +63,25 @@ def test_unestimable_input_not_gated(spark, monkeypatch):
     assert out["p50"] == float(vals[round(0.5 * 99)][0])
 
 
+def test_unestimable_input_projected_narrow_not_gated(spark, monkeypatch):
+    # Catalyst SCALES the bogus Long.MaxValue leaf estimate by the
+    # projection's column-width ratio, so selecting 2 of 3 columns
+    # lands the estimate BELOW defaultSizeInBytes while still being
+    # absurd (~3.35e18 "bytes" for 100 rows). The sanity ceiling must
+    # catch it; without it this raised ValueError on a 100-row frame.
+    monkeypatch.setattr(pct, "EXACT_SORT_MAX_BYTES", 1)
+    rdd = spark.sparkContext.parallelize(
+        [(float(i % 97), i, f"pad{i}") for i in range(100)]
+    )
+    df = spark.createDataFrame(rdd, "v double, tie long, extra string")
+    assert pct._estimated_size_bytes(df.select("v", "tie")) == -1
+    out = pct.nearest_rank_percentiles(
+        df, "v", [("p50", 0.5)], tiebreak="tie"
+    ).collect()[0]
+    vals = sorted((i % 97, i) for i in range(100))
+    assert out["p50"] == float(vals[round(0.5 * 99)][0])
+
+
 def test_unestimable_join_product_not_gated(spark, monkeypatch):
     # A join above an unestimable leaf inherits (multiplies) the bogus
     # estimate; the guard must treat the whole plan as unknown.

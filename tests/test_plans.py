@@ -460,3 +460,30 @@ def test_plan_audit_artifact_covers_registry():
     assert set(audit) == set(all_queries()), (
         "registry and PLAN_AUDIT.json diverge - rerun scripts/plan_audit.py"
     )
+
+
+def test_marker_hits_expr_escapes_quotes(spark):
+    # Stopword lists routinely contain contractions; the SQL-string
+    # marker counter must escape them (the Column form accepts any
+    # string via F.lit).
+    from open_rust_timeseries_db_spark.functions.text import (
+        marker_hits,
+        marker_hits_expr,
+        tokens,
+        tokens_expr,
+    )
+    from pyspark.sql import functions as F
+
+    markers = ("don't", "it's", "plain")
+    df = spark.createDataFrame(
+        [(1, "don't stop it's plain x")], "doc_id long, text string"
+    )
+    got = df.selectExpr(
+        f"{tokens_expr('text')} AS _toks"
+    ).selectExpr(f"{marker_hits_expr('_toks', markers)} AS n").collect()[0]["n"]
+    want = (
+        df.select(tokens("text").alias("_toks"))
+        .select(marker_hits(F.col("_toks"), markers).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert got == want == 3
