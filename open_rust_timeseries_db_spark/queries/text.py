@@ -16,7 +16,6 @@ from open_rust_timeseries_db_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
     fingerprint,
-    marker_hits,
     marker_hits_expr,
     tokens,
     tokens_expr,
