@@ -49,9 +49,16 @@ def marker_hits_expr(toks: str, markers: tuple[str, ...]) -> str:
     equivalent to array_contains for the non-null string tokens the
     tokenizer emits). Marker strings are escaped — contractions like
     "don't" are routine in stopword lists, and the Column form this
-    mirrors accepted any string via F.lit."""
+    mirrors accepted any string via F.lit. Quotes are escaped by
+    DOUBLING ('' ) rather than backslashing: '' parses identically
+    whether spark.sql.parser.escapedStringLiterals is false (the
+    default) or true (the legacy mode, under which \\' would be read
+    as a literal backslash + unterminated string). Backslashes are
+    still doubled for the default parser; a marker containing a
+    literal backslash (none of ours do) would read back doubled under
+    the legacy conf — parseable, just a different value."""
     def q(m: str) -> str:
-        return "'" + m.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return "'" + m.replace("\\", "\\\\").replace("'", "''") + "'"
 
     lst = ", ".join(q(m) for m in markers)
     return f"CAST(size(filter({toks}, t -> t IN ({lst}))) AS BIGINT)"

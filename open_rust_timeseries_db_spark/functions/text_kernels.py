@@ -117,7 +117,13 @@ def _evict_ckpt_key(key: tuple) -> None:
     """Drop one cache entry AND its derived (persist=False) children:
     a child whose parent lost its blocks is a full-recompute trap."""
     entry = _CKPT_CACHE.pop(key, None)
-    _CKPT_PARENT.pop(key, None)
+    pkey = _CKPT_PARENT.pop(key, None)
+    if pkey is not None:
+        # Detach from the parent's child set too, or a directly-evicted
+        # child's key lingers there forever and a later-recreated child
+        # under the same key tuple could be cascade-evicted by the
+        # stale edge.
+        _CKPT_CHILDREN.get(pkey, set()).discard(key)
     for child in _CKPT_CHILDREN.pop(key, ()):
         _evict_ckpt_key(child)
     if entry is not None:

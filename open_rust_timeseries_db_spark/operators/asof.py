@@ -82,6 +82,16 @@ def asof_join(
     if strategy not in ("auto", "window", "broadcast"):
         raise ValueError(f"strategy must be auto|window|broadcast, got {strategy!r}")
 
+    # A right row with a NULL timestamp can never be "the most recent
+    # row <= ts" — drop them once, before strategy selection, so both
+    # paths (and the broadcast size estimate) see the same input. The
+    # window path happened to ignore them for asof_ts via
+    # last(ignorenulls=True) but would still leak their VALUE columns;
+    # the broadcast probe's array-count indexing would silently
+    # misindex (sort_array places null-__rts structs first, but the
+    # count predicates skip them).
+    right = right.filter(F.col(right_ts).isNotNull())
+
     if strategy == "broadcast" or (
         strategy == "auto"
         and _broadcast_pays(left, right, on, left_ts, right_ts, right_values, tiebreak)
@@ -131,11 +141,17 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # A null left_ts never matches: in backward order it sorts before
+    # every right row anyway, but in forward (desc) order it would sort
+    # last and pick up the globally-smallest right_ts — mask it.
+    has_ts = F.col("__ts").isNotNull()
     matched = unioned.select(
         "__left",
-        F.last("__rts", ignorenulls=True).over(w).alias("asof_ts"),
+        F.when(has_ts, F.last("__rts", ignorenulls=True).over(w)).alias("asof_ts"),
         *[
-            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            F.when(
+                has_ts, F.last(f"__rv_{c}", ignorenulls=True).over(w)
+            ).alias(f"asof_{c}")
             for c in right_values
         ],
     ).filter(F.col("__left").isNotNull())
@@ -215,6 +231,10 @@ def _asof_broadcast(
         first_ge_ts = F.get(arr, n_lt)["__rts"]
         n_le_match = F.size(F.filter(arr, lambda x: x["__rts"] <= first_ge_ts))
         matched = F.get(arr, n_le_match - 1)
+    # A null left_ts never matches: the forward count predicates all
+    # evaluate to null → n_lt=0 → the probe would return arr[0] (the
+    # smallest right_ts) instead of no-match.
+    matched = F.when(lts.isNotNull(), matched)
     # eqNullSafe: the window strategy groups NULL keys into one
     # partition (null left rows match null right rows), so the probe
     # join must treat NULL keys the same way or strategy="auto" would

@@ -29,8 +29,12 @@ def _estimated_size_bytes(df: DataFrame) -> int:
     and join estimates MULTIPLY child sizes — so a bogus leaf inflates
     every plan above it. Gating on such a value would spuriously refuse
     small inputs on a public API; "don't know" must mean "don't gate",
-    not "raise". Any estimate at or above defaultSizeInBytes (or
-    non-positive) is treated as unknown.
+    not "raise". Non-positive estimates, estimates past the 1 PiB
+    sanity cap (which covers stock Long.MaxValue and its
+    projection-scaled derivatives), and exact hits on
+    defaultSizeInBytes (an unsized leaf echoing a lowered default) are
+    treated as unknown; everything else — including large real
+    estimates under a lowered default — keeps gating.
     """
     try:
         sess = df.sparkSession
@@ -47,8 +51,17 @@ def _estimated_size_bytes(df: DataFrame) -> int:
         # projected to 1 column estimated 3.35e18 "bytes" for 100
         # rows). Anything past 1 PiB cannot be a real single-frame
         # estimate (a 100 TB table is 1e14) and is treated as unknown.
+        #
+        # But the >= comparison is only a bogosity signal when default
+        # is the STOCK Long.MaxValue: a deployment that lowers
+        # defaultSizeInBytes (a common broadcast-tuning knob) below the
+        # gate budget would otherwise turn every genuinely-large real
+        # estimate into "unknown" and silently skip the exact-sort
+        # refusal. With a lowered default, only an EXACT hit (an
+        # unsized leaf reporting the default verbatim) reads as
+        # unknown; everything else is a real estimate and keeps gating.
         sanity_max = 1 << 50
-        if est <= 0 or est >= default or est > sanity_max:
+        if est <= 0 or est > sanity_max or est == default:
             return -1
         return est
     except Exception:
