@@ -1140,6 +1140,57 @@ def doc_lengths_ckpt(
     return _cached_ckpt(docs, dl, ("doc_lengths", id_col, text_col))
 
 
+def doc_fp_census_ckpt(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Session-cached exact-dedup census input
+    (id_col, source_col, fp, n_toks).
+
+    ``fp`` is the canonical-form fingerprint (functions.text.fingerprint
+    — md5 of whitespace-normalized lowercased text); ``n_toks`` comes
+    from the cached doc_lengths rollup (LEFT join: a token-less doc has
+    no tf rows, coalesced to 0 — SUM-identical to the direct
+    size(tokens(text)) formulation). This is the corpus-sized work of
+    the dedup apply/census pass (q_dedup_apply used to re-md5 and
+    re-tokenize the full fat-doc corpus per invocation — 13.1x cold at
+    sf1, the one text query not fed from session cache); built once
+    here, the query itself is a window + a tiny hash-agg.
+
+    Partitioned by fp: the survivor-selection window (and any
+    per-fingerprint grouping) then reads the cached partitioning from
+    the InMemoryTableScan and elides its exchange. At 100 TB this is
+    the fingerprint column a curation pipeline materializes next to the
+    corpus, bucketed by fingerprint.
+    """
+    dl = doc_lengths_ckpt(docs, id_col, text_col)
+    base = docs.select(
+        id_col, source_col, _text_fingerprint(text_col).alias("fp")
+    )
+    census = base.join(dl, id_col, "left").select(
+        id_col,
+        source_col,
+        "fp",
+        F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("n_toks"),
+    )
+    return _cached_ckpt(
+        docs,
+        census,
+        ("doc_fp_census", id_col, text_col, source_col),
+        part_by=("fp",),
+    )
+
+
+def _text_fingerprint(text_col: str):
+    # Local import: functions.text imports nothing from this module's
+    # cache layer, but keep the dependency one-way at module-load time.
+    from open_rust_timeseries_db_spark.functions.text import fingerprint
+
+    return fingerprint(text_col)
+
+
 def term_df_ckpt(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

