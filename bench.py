@@ -394,6 +394,15 @@ def main() -> None:
             )
         except OSError:
             pass  # read-only checkout: stdout already has the result
+    else:
+        # Targeted iteration runs: per-query cold/warm to stderr (the
+        # driver never sets SPARK_GRAFT_ONLY; stdout stays one line).
+        print(
+            json.dumps(
+                {"cold": cold, "warm": timings}, separators=(",", ":")
+            ),
+            file=sys.stderr,
+        )
     line, _ = compact_stdout_line(
         timings, cold_total, cache_build_total, sf, total
     )

@@ -102,8 +102,10 @@ MH_AB: tuple[tuple[int, int], ...] = (
 #   per query invocation.
 _CKPT_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 # Sized for two live corpora (the pytest suite works sf0.001 and
-# sf0.01 in one session) x ~8 derived tables each, with headroom.
-_CKPT_CACHE_MAX = 32
+# sf0.01 in one session) x ~20 derived tables each, with headroom
+# (round 9 added the fingerprint census, the ANN result tables and the
+# LM-report plan view; 32 would thrash across two corpora).
+_CKPT_CACHE_MAX = 64
 # persist=False entries are views over a persisted parent's cached
 # blocks; evicting the parent without them would leave memoized
 # children silently recomputing the full kernel pipeline per action.
@@ -198,13 +200,21 @@ def ensure_materialized(df: DataFrame) -> DataFrame:
 
 def _cached_ckpt(
     src: DataFrame,
-    out: DataFrame,
+    out,
     key_parts: tuple,
     part_by: tuple[str, ...] | None = None,
     persist: bool = True,
-    parent: DataFrame | None = None,
+    parent=None,
 ) -> DataFrame:
     """Session-cache ``out`` once per (session, ``src`` plan, params).
+
+    ``out`` (and ``parent``) may be 0-arg callables, deferred until a
+    cache MISS: every DataFrame op in a candidate plan costs ~20-30 ms
+    of JVM analysis even over cached tables, and the nested ckpt
+    families compounded that to 70-140 ms per cache HIT (measured
+    round 9: bigram_counts + bigram_prefix hits alone were 0.14 s of
+    q_ngram_lm_bigrams' 0.22 s cold plan build). A hit is now a dict
+    lookup.
 
     ``persist=False`` memoizes the DataFrame OBJECT (plan-build py4j
     cost is still paid once per session) without persisting its blocks:
@@ -243,7 +253,7 @@ def _cached_ckpt(
             sem = src.semanticHash()
             plan = src._jdf.queryExecution().analyzed().toString()
         except Exception:  # pragma: no cover - exotic DataFrame proxy
-            return out.persist()
+            return (out() if callable(out) else out).persist()
         src_key = (sem, hashlib.md5(plan.encode("utf-8")).hexdigest())
         try:
             src._orts_ckpt_src_key = src_key
@@ -259,6 +269,10 @@ def _cached_ckpt(
         _CKPT_CACHE.move_to_end(key)
         _touch_ckpt_ancestors(key)
         return hit
+    if callable(out):
+        out = out()
+    if callable(parent):
+        parent = parent()
     if part_by:
         n = int(src.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         out = out.repartition(n, *part_by)
@@ -731,7 +745,7 @@ def doc_gram_counts_ckpt(
     inherit exchange-free per-doc rollups."""
     return _cached_ckpt(
         docs,
-        doc_gram_counts_pd(docs, id_col, text_col),
+        lambda: doc_gram_counts_pd(docs, id_col, text_col),
         ("doc_gram", id_col, text_col),
         part_by=("id",),
     )
@@ -808,17 +822,19 @@ def doc_bigram_counts_ckpt(
     # preserves the probe side's partitioning).
     # doc_bigram_counts_pd remains the standalone (property-tested)
     # single-output kernel.
-    grams = doc_gram_counts_ckpt(docs, id_col, text_col)
-    db = grams.filter(F.col("kind") == 2).select(
-        "id", F.col("gram").alias("bigram"), "n"
-    )
+    def build() -> DataFrame:
+        grams = doc_gram_counts_ckpt(docs, id_col, text_col)
+        return grams.filter(F.col("kind") == 2).select(
+            "id", F.col("gram").alias("bigram"), "n"
+        )
+
     # persist=False: pure filter/projection of the cached doc_gram
     # parent — persisting it again would double-hold the gram data
     # (round-5 advice); the view reads the parent's cached blocks and
     # keeps its id partitioning.
     return _cached_ckpt(
-        docs, db, ("doc_bigram", id_col, text_col), persist=False,
-        parent=grams,
+        docs, build, ("doc_bigram", id_col, text_col), persist=False,
+        parent=lambda: doc_gram_counts_ckpt(docs, id_col, text_col),
     )
 
 
@@ -836,7 +852,7 @@ def winnow_fp_ckpt(
     # runs straight on the cached blocks (measured 2x end-to-end).
     return _cached_ckpt(
         docs,
-        winnow_fp_pd(docs, id_col, text_col, n, w),
+        lambda: winnow_fp_pd(docs, id_col, text_col, n, w),
         ("winnow", id_col, text_col, n, w),
         part_by=("fp",),
     )
@@ -863,11 +879,10 @@ def shingle_hashes_ckpt(
     # kernel. Partitioned by shingle id: the grouped (scale-path) pair
     # expansion groups by hs with no exchange; the broadcast path
     # probes and is indifferent.
-    full = shingle_profile_ckpt(docs, id_col, text_col, n, len(MH_AB))
-    exploded = full.select("id", "n_sh", F.explode("hs").alias("hs"))
     return _cached_ckpt(
         docs,
-        exploded,
+        lambda: shingle_profile_ckpt(docs, id_col, text_col, n, len(MH_AB))
+        .select("id", "n_sh", F.explode("hs").alias("hs")),
         ("hashes", id_col, text_col, n),
         part_by=("hs",),
     )
@@ -889,22 +904,23 @@ def shingle_profile_ckpt(
     serves every permutation count.
     """
     if 0 < n_perms < len(MH_AB):
-        full = shingle_profile_ckpt(docs, id_col, text_col, n, len(MH_AB))
-        derived = full.select(
-            "id", "n_sh", "hs", F.slice("sigs", 1, n_perms).alias("sigs")
-        )
         # persist=False: a pure projection (array slice) of the cached
         # 16-perm profile — no second copy of the shingle arrays.
         return _cached_ckpt(
             docs,
-            derived,
+            lambda: shingle_profile_ckpt(docs, id_col, text_col, n, len(MH_AB))
+            .select(
+                "id", "n_sh", "hs", F.slice("sigs", 1, n_perms).alias("sigs")
+            ),
             ("profile", id_col, text_col, n, n_perms),
             persist=False,
-            parent=full,
+            parent=lambda: shingle_profile_ckpt(
+                docs, id_col, text_col, n, len(MH_AB)
+            ),
         )
     return _cached_ckpt(
         docs,
-        shingle_profile_pd(docs, id_col, text_col, n, n_perms),
+        lambda: shingle_profile_pd(docs, id_col, text_col, n, n_perms),
         ("profile", id_col, text_col, n, n_perms),
     )
 
@@ -918,7 +934,7 @@ def simhash_signatures_ckpt(
     """Materialized SimHash signature table (see simhash_signatures_pd)."""
     return _cached_ckpt(
         docs,
-        simhash_signatures_pd(docs, id_col, text_col, bits),
+        lambda: simhash_signatures_pd(docs, id_col, text_col, bits),
         ("simhash", id_col, text_col, bits),
     )
 
@@ -940,11 +956,13 @@ def simhash_grouped_ckpt(
     this is an ingest-maintained signature index (signature -> posting
     list), the standard shape for near-dup serving.
     """
-    sigs = simhash_signatures_ckpt(docs, id_col, text_col, bits)
-    gs = sigs.groupBy("sig").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
+    return _cached_ckpt(
+        docs,
+        lambda: simhash_signatures_ckpt(docs, id_col, text_col, bits)
+        .groupBy("sig")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids")),
+        ("simhash_grouped", id_col, text_col, bits),
     )
-    return _cached_ckpt(docs, gs, ("simhash_grouped", id_col, text_col, bits))
 
 
 def doc_term_tf_ckpt(
@@ -965,17 +983,19 @@ def doc_term_tf_ckpt(
     # id-partitioned parent preserves its partitioning, so the per-doc
     # rollups (token diversity, BM25 scoring agg) and the per-doc
     # top-k window (TF-IDF) all elide their exchange on cached blocks.
-    grams = doc_gram_counts_ckpt(docs, id_col, text_col)
-    tf = grams.filter(F.col("kind") == 1).select(
-        F.col("id").alias(id_col),
-        F.col("gram").alias("tok"),
-        F.col("n").alias("tf"),
-    )
+    def build() -> DataFrame:
+        grams = doc_gram_counts_ckpt(docs, id_col, text_col)
+        return grams.filter(F.col("kind") == 1).select(
+            F.col("id").alias(id_col),
+            F.col("gram").alias("tok"),
+            F.col("n").alias("tf"),
+        )
+
     # persist=False: pure filter/projection of the cached doc_gram
     # parent (see doc_bigram_counts_ckpt).
     return _cached_ckpt(
-        docs, tf, ("doc_term_tf", id_col, text_col), persist=False,
-        parent=grams,
+        docs, build, ("doc_term_tf", id_col, text_col), persist=False,
+        parent=lambda: doc_gram_counts_ckpt(docs, id_col, text_col),
     )
 
 
@@ -1072,13 +1092,15 @@ def bigram_counts_ckpt(
     combined, and it reads already-cached Arrow output instead of
     re-running Python tokenization. bigram_partial_counts_pd remains
     the standalone single-output-kernel (property-tested) variant."""
-    db = doc_bigram_counts_ckpt(docs, id_col, text_col)
-    bc = db.groupBy("bigram").agg(F.sum("n").alias("n_bigram")).select(
-        "bigram",
-        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
-        "n_bigram",
-    )
-    return _cached_ckpt(docs, bc, ("bigram_counts", id_col, text_col))
+    def build() -> DataFrame:
+        db = doc_bigram_counts_ckpt(docs, id_col, text_col)
+        return db.groupBy("bigram").agg(F.sum("n").alias("n_bigram")).select(
+            "bigram",
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            "n_bigram",
+        )
+
+    return _cached_ckpt(docs, build, ("bigram_counts", id_col, text_col))
 
 
 def bigram_lm_ckpt(
@@ -1096,18 +1118,22 @@ def bigram_lm_ckpt(
     table in a single chain."""
     from pyspark.sql.window import Window
 
-    bc = bigram_counts_ckpt(docs, id_col, text_col)
-    lm = bc.select(
-        "bigram",
-        F.floor(
-            F.col("n_bigram").cast("double")
-            / F.sum("n_bigram").over(Window.partitionBy("w1")).cast("double")
-            * F.lit(1e12)
+    def build() -> DataFrame:
+        bc = bigram_counts_ckpt(docs, id_col, text_col)
+        return bc.select(
+            "bigram",
+            F.floor(
+                F.col("n_bigram").cast("double")
+                / F.sum("n_bigram")
+                .over(Window.partitionBy("w1"))
+                .cast("double")
+                * F.lit(1e12)
+            )
+            .cast("bigint")
+            .alias("p_fx"),
         )
-        .cast("bigint")
-        .alias("p_fx"),
-    )
-    return _cached_ckpt(docs, lm, ("bigram_lm_fx", id_col, text_col))
+
+    return _cached_ckpt(docs, build, ("bigram_lm_fx", id_col, text_col))
 
 
 def lm_scored_bigrams_ckpt(
@@ -1123,10 +1149,12 @@ def lm_scored_bigrams_ckpt(
     table's id partitioning (a broadcast join preserves the probe
     side's partitioning), so per-doc rollups of this table start with
     no exchange."""
-    db = doc_bigram_counts_ckpt(docs, id_col, text_col)
-    lm = bigram_lm_ckpt(docs, id_col, text_col)
-    scored = db.join(F.broadcast(lm), "bigram").select("id", "n", "p_fx")
-    return _cached_ckpt(docs, scored, ("lm_scored_bigrams", id_col, text_col))
+    def build() -> DataFrame:
+        db = doc_bigram_counts_ckpt(docs, id_col, text_col)
+        lm = bigram_lm_ckpt(docs, id_col, text_col)
+        return db.join(F.broadcast(lm), "bigram").select("id", "n", "p_fx")
+
+    return _cached_ckpt(docs, build, ("lm_scored_bigrams", id_col, text_col))
 
 
 def doc_lengths_ckpt(
@@ -1135,9 +1163,13 @@ def doc_lengths_ckpt(
     """Session-cached per-document token counts (id_col, dl) — a rollup
     of the cached tf table (re-aggregates partials, never re-tokenizes).
     The BM25 length-normalization side."""
-    tf = doc_term_tf_ckpt(docs, id_col, text_col)
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    return _cached_ckpt(docs, dl, ("doc_lengths", id_col, text_col))
+    return _cached_ckpt(
+        docs,
+        lambda: doc_term_tf_ckpt(docs, id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("dl")),
+        ("doc_lengths", id_col, text_col),
+    )
 
 
 def doc_fp_census_ckpt(
@@ -1165,19 +1197,21 @@ def doc_fp_census_ckpt(
     the fingerprint column a curation pipeline materializes next to the
     corpus, bucketed by fingerprint.
     """
-    dl = doc_lengths_ckpt(docs, id_col, text_col)
-    base = docs.select(
-        id_col, source_col, _text_fingerprint(text_col).alias("fp")
-    )
-    census = base.join(dl, id_col, "left").select(
-        id_col,
-        source_col,
-        "fp",
-        F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("n_toks"),
-    )
+    def build() -> DataFrame:
+        dl = doc_lengths_ckpt(docs, id_col, text_col)
+        base = docs.select(
+            id_col, source_col, _text_fingerprint(text_col).alias("fp")
+        )
+        return base.join(dl, id_col, "left").select(
+            id_col,
+            source_col,
+            "fp",
+            F.coalesce(F.col("dl"), F.lit(0)).cast("bigint").alias("n_toks"),
+        )
+
     return _cached_ckpt(
         docs,
-        census,
+        build,
         ("doc_fp_census", id_col, text_col, source_col),
         part_by=("fp",),
     )
@@ -1196,9 +1230,13 @@ def term_df_ckpt(
 ) -> DataFrame:
     """Session-cached per-term document frequencies (tok, df) — the
     vocabulary-sized idf dictionary TF-IDF broadcasts onto tf."""
-    tf = doc_term_tf_ckpt(docs, id_col, text_col)
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    return _cached_ckpt(docs, df, ("term_df", id_col, text_col))
+    return _cached_ckpt(
+        docs,
+        lambda: doc_term_tf_ckpt(docs, id_col, text_col)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df")),
+        ("term_df", id_col, text_col),
+    )
 
 
 def bigram_prefix_ckpt(
@@ -1206,12 +1244,16 @@ def bigram_prefix_ckpt(
 ) -> DataFrame:
     """Session-cached bigram-prefix totals (w1, n_prefix) — the
     conditional-probability denominator table for the bigram LM."""
-    bc = bigram_counts_ckpt(docs, id_col, text_col)
-    pc = bc.groupBy("w1").agg(F.sum("n_bigram").alias("n_prefix"))
-    return _cached_ckpt(docs, pc, ("bigram_prefix", id_col, text_col))
+    return _cached_ckpt(
+        docs,
+        lambda: bigram_counts_ckpt(docs, id_col, text_col)
+        .groupBy("w1")
+        .agg(F.sum("n_bigram").alias("n_prefix")),
+        ("bigram_prefix", id_col, text_col),
+    )
 
 
-def cached_collect(src: DataFrame, key: str, out: DataFrame) -> list:
+def cached_collect(src: DataFrame, key: str, out) -> list:
     """``out.collect()``, memoized on the (stable, catalog-cached)
     ``src`` DataFrame object under ``key``.
 
@@ -1219,10 +1261,14 @@ def cached_collect(src: DataFrame, key: str, out: DataFrame) -> list:
     vectors): the collect job runs once per session; every later
     invocation reads a Python attribute. ``src`` must be the
     session-stable object (e.g. a catalog table), not a per-invocation
-    derivation."""
+    derivation. ``out`` may be a 0-arg callable, deferred until the
+    first (miss) call — plan construction costs ~20-30 ms per
+    DataFrame op even when the collect is memoized."""
     attr = f"_orts_collect_{key}"
     v = getattr(src, attr, None)
     if v is None:
+        if callable(out):
+            out = out()
         v = out.collect()
         try:
             setattr(src, attr, v)

@@ -60,9 +60,14 @@ def cache_builders(
     )
     from open_rust_timeseries_db_spark.operators.dedupe import MINHASH_PERMS
     from open_rust_timeseries_db_spark.queries.dedup import _MH_PERMS
+    from open_rust_timeseries_db_spark.queries.pipeline import (
+        ngram_lm_top50_ckpt,
+    )
     from open_rust_timeseries_db_spark.queries.similarity import (
         _ann_matrices,
         _assigned_ckpt,
+        _exact_topk_ckpt,
+        _probe_topk_ckpt,
     )
     from open_rust_timeseries_db_spark.queries.text import _WINNOW_W
 
@@ -90,6 +95,9 @@ def cache_builders(
         "lm_scored_bigrams": lambda: cached_count(
             lm_scored_bigrams_ckpt(docs)
         ),
+        # Memoized top-50 LM report plan (persist=False view): one
+        # plan analysis charged here instead of the query's cold.
+        "ngram_lm_top50": lambda: cached_count(ngram_lm_top50_ckpt(docs)),
         # shingle family: ONE kernel pass (the 16-perm profile); the
         # 8-perm profile (prefix-nested affine family) and the exploded
         # shingle table (explode of the profile's hs array) DERIVE from
@@ -110,9 +118,13 @@ def cache_builders(
         "winnow_fp": lambda: cached_count(
             winnow_fp_ckpt(docs, n=3, w=_WINNOW_W)
         ),
-        # ANN/IVF index build: centroid matrices + assignment table.
+        # ANN/IVF index build: centroid matrices + assignment table,
+        # then the two Q*k result tables the recall gate joins
+        # (ordered after their parents).
         "ann_matrices": lambda: len(_ann_matrices(emb)[0]),
         "ivf_assign": lambda: cached_count(_assigned_ckpt(emb)),
+        "exact_topk": lambda: cached_count(_exact_topk_ckpt(emb)),
+        "probe_topk": lambda: cached_count(_probe_topk_ckpt(emb)),
         # BM25 corpus scalars (n_docs, total length, per-term df):
         # memoized driver-side once per session; two small jobs over
         # cached tables that otherwise land on q_bm25_rank's cold.

@@ -127,6 +127,11 @@ def test_python_confined_to_designated_operators(spark, qs):
         "q_tfidf_topterms",
         "q_bm25_rank",
         "q_token_diversity",
+        # fingerprint census (doc_fp_census_ckpt): fp is JVM md5, but
+        # n_toks comes from the doc_lengths rollup of the doc-gram
+        # kernel, so the kernel lineage sits under the cached census:
+        "q_dedup_apply",
+        "q_fingerprint",
         # winnowing fingerprint kernel consumers:
         "q_winnow_neardup",
         # IVF assignment kernel feeding the Lloyd update hash-agg:
