@@ -236,6 +236,21 @@ def test_hot_bucket_skew_paths_agree(spark, monkeypatch):
             f"{k}: hot-bucket results diverge between physical paths"
         )
 
+    # Third physical shape: the grouped path with SALTING forced on
+    # (thresholds lowered so the ~n_hot-member buckets split into
+    # salted sub-buckets, including the multi-split regime). The
+    # exactly-once guarantee of the (i == j) OR (salt_a != salt_b)
+    # keep-filter must reproduce the identical pair sets.
+    monkeypatch.setattr(dd, "SALT_MIN_SOURCE_ROWS", 0)
+    monkeypatch.setattr(dd, "SALT_BUCKET_MIN_ROWS", 8)
+    monkeypatch.setattr(dd, "SALT_TARGET_ROWS", 4)
+    salted = run_all()
+    for k in broadcast:
+        assert broadcast[k] == salted[k], (
+            f"{k}: salted hot-bucket expansion diverges from the "
+            "unsalted paths"
+        )
+
     # The exact verifier has perfect recall on shared shingles: the
     # full hot clique (38 of 40 shingles shared pairwise -> J = 0.95)
     # must be present, every pair with the same exact Jaccard.
