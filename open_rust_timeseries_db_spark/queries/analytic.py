@@ -664,7 +664,15 @@ _DAY_US_A = 86_400_000_000
     "measured 2.5x at sf1 (0.58-0.90 s vs 1.61-1.85 s, identical "
     "results). The round-5 per-stage broadcast-join cascade before "
     "that was 16 jobs and unscalable besides — a per-user frame at "
-    "100 TB is not a broadcastable dim.",
+    "100 TB is not a broadcastable dim. SKEW BOUND: the per-user "
+    "arrays hold that user's click/purchase history in one agg "
+    "buffer — a degenerate bot user with millions of events "
+    "concentrates its history in one hash-agg entry. "
+    "event_funnel_bounded_state is the O(1)-per-user-state twin for "
+    "that regime (equality property-tested incl. a bot shape); it "
+    "costs two extra co-partitioned join stages, measured 10-20x "
+    "this query's warm time at the sf0.1/sf1 tiers where no such "
+    "user exists — so the array shape stays the default.",
     tags=("analytic", "funnel", "sequence"),
 )
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,6 +712,59 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t1").alias("n_view"),
         F.count("t2").alias("n_view_then_click"),
         F.count("t3").alias("n_full_funnel"),
+    )
+
+
+def event_funnel_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_event_funnel with O(1) aggregation state per user — the shape
+    for event logs with degenerate heavy-hitter users (bot traffic),
+    where the default's per-user collect_list arrays would concentrate
+    one user's whole history in a single hash-agg buffer.
+
+    Identity used (strict inequalities throughout, matching the
+    oracle): stage 2 exists iff max_click > min_view, and stage 3
+    (exists purchase > t2 where t2 = min click > t1) holds iff some
+    click lies in the OPEN interval (min_view, max_purchase) — if such
+    a click c exists then t2 <= c < max_purchase, and conversely t2
+    itself is such a click. So one bounded hash-agg computes
+    (t1 = min view, mc = max click, mp = max purchase) per user, and
+    one co-partitioned shuffle-hash join re-tests the click stream
+    against (t1, mp) — no per-user array anywhere. The explicit
+    repartition is shared by the aggregate and both join sides
+    (ReusedExchange: the event log still crosses the wire once);
+    the joins add two stage waves, measured 10-20x the array shape's
+    warm time at the sf0.1/sf1 tiers — which is why this is the
+    documented alternative, not the default (equality property-tested
+    in tests/test_funnel_shapes.py, including a bot-user shape).
+    """
+    ev = events_us(spark, sf_dir).select("user_id", "ts_us", "event_type")
+    evp = ev.repartition("user_id")
+    pu = evp.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_us"))
+        ).alias("t1"),
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts_us"))
+        ).alias("mc"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("mp"),
+    )
+    clicks = evp.filter("event_type = 'click'").select("user_id", "ts_us")
+    hits = (
+        clicks.join(pu.hint("shuffle_hash"), "user_id")
+        .filter((F.col("ts_us") > F.col("t1")) & (F.col("ts_us") < F.col("mp")))
+        .groupBy("user_id")
+        .agg(F.first(F.lit(1)).alias("hit"))
+    )
+    pu2 = pu.join(hits.hint("shuffle_hash"), "user_id", "left")
+    return pu2.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count(F.when(F.col("mc") > F.col("t1"), 1)).alias(
+            "n_view_then_click"
+        ),
+        F.count("hit").alias("n_full_funnel"),
     )
 
 

@@ -90,3 +90,75 @@ def test_ann_search_recall_against_exact(spark):
     # nprobe=2 of ~50 cells at sf0.001; random cells would give ~4%
     # recall — the probe ranking has to be doing the work.
     assert macro >= 0.5, f"macro recall@5 {macro:.2f}, per-query {recalls}"
+
+
+def test_ann_recall_slo_wide_query_set(spark):
+    """Recall SLO over a WIDE deterministic query set (the oracle-gated
+    q_ann_recall samples 10 vectors; this is the quality gate at 10x
+    that): 100 query vectors at sf0.01, macro recall@5 of the IVF probe
+    vs the exact baseline. Three contracts:
+
+    - the default nprobe=2 delivers the measured floor (0.606 on this
+      corpus; asserted >= 0.55 — random 2-of-5 cells would give ~0.4
+      only if neighbors were uniform, and the probe must beat that),
+    - recall is MONOTONE in nprobe (the probe list is a superset), and
+    - probing every cell reproduces the exact top-k verbatim
+      (recall == 1.0) — the approximate path degrades to exact, which
+      pins the scoring arithmetic of both paths to each other.
+    """
+    import collections
+
+    from open_rust_timeseries_db_spark.functions.vectors import (
+        ivf_probe_search_cached,
+        local_topk_cosine,
+    )
+    from open_rust_timeseries_db_spark.queries.similarity import (
+        _ann_matrices,
+        _assigned_ckpt,
+    )
+    from open_rust_timeseries_db_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"  # 500 vectors, 5 IVF cells
+    emb = load_table(spark, sf, "embeddings")
+    cent_rows, _ = _ann_matrices(emb)
+    q_rows = [
+        (r[0], r[1])
+        for r in emb.filter("vec_id < 100")
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    assert len(q_rows) == 100
+    assigned = _assigned_ckpt(emb)
+
+    def topk_sets(rows):
+        by_q = collections.defaultdict(list)
+        for r in rows:
+            by_q[r["query_id"]].append((r["cosine"], r["neighbor_id"]))
+        return {
+            q: {
+                n
+                for _, n in sorted(v, key=lambda t: (-t[0], t[1]))[:5]
+            }
+            for q, v in by_q.items()
+        }
+
+    exact_sets = topk_sets(
+        local_topk_cosine(
+            assigned.select("vec_id", "embedding"), q_rows, k=5
+        ).collect()
+    )
+    macros = []
+    for nprobe in (1, 2, len(cent_rows)):
+        ap_sets = topk_sets(
+            ivf_probe_search_cached(
+                assigned, cent_rows, q_rows, nprobe=nprobe, k=5
+            ).collect()
+        )
+        recalls = [
+            len(exact_sets[q] & ap_sets.get(q, set())) / len(exact_sets[q])
+            for q in exact_sets
+        ]
+        macros.append(sum(recalls) / len(recalls))
+    assert macros[1] >= 0.55, f"recall@5 SLO broke: nprobe=2 macro {macros[1]:.3f}"
+    assert macros[0] <= macros[1] <= macros[2], f"recall not monotone: {macros}"
+    assert macros[2] == 1.0, f"full probe must be exact, got {macros[2]:.4f}"
