@@ -59,7 +59,10 @@ def cache_builders(
         winnow_fp_ckpt,
     )
     from open_rust_timeseries_db_spark.operators.dedupe import MINHASH_PERMS
-    from open_rust_timeseries_db_spark.queries.dedup import _MH_PERMS
+    from open_rust_timeseries_db_spark.queries.dedup import (
+        _MH_PERMS,
+        dedup_census_report_ckpt,
+    )
     from open_rust_timeseries_db_spark.queries.pipeline import (
         ngram_lm_top50_ckpt,
     )
@@ -86,6 +89,11 @@ def cache_builders(
         # the corpus md5 pass + doc_lengths join feeding q_dedup_apply
         # and q_fingerprint. Ordered after doc_lengths (its parent).
         "doc_fp_census": lambda: cached_count(doc_fp_census_ckpt(docs)),
+        # Memoized census report plan (persist=False view): plan
+        # analysis + first-run jit charged here, not the query's cold.
+        "dedup_census_report": lambda: cached_count(
+            dedup_census_report_ckpt(docs)
+        ),
         # bigram LM family: q_ngram_lm_bigrams, q_lm_score,
         # q_repetition_ratio — one tokenization pass, rolled up twice.
         "doc_bigram": lambda: cached_count(doc_bigram_counts_ckpt(docs)),

@@ -34,6 +34,11 @@ CACHE_HEAVY = [
     "q_ann_ivf",
     "q_kmeans_update",
     "q_semantic_dedup",
+    # fingerprint-census consumers (round 9):
+    "q_dedup_apply",
+    "q_fingerprint",
+    "q_ann_recall",
+    "q_ngram_lm_bigrams",
 ]
 
 
