@@ -15,6 +15,8 @@ tracking, and event-lag metrics, plus the watermarked-dedup extension.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,15 +34,39 @@ from open_rust_timeseries_db_spark.streaming.sources import events_file_stream
 _WIN_US = 60_000_000  # 1-minute tumbling windows in epoch-µs
 
 # State-store partitioning for the bounded-drain verification runs:
-# state here is a few thousand windows / keys (KB-scale), so commit
-# overhead — one file+fsync per partition per micro-batch — dominates
-# any wider setting. Streaming state is not AQE-coalesced and the count
-# freezes into the checkpoint, so it is provisioned explicitly per
-# pipeline (see run_available_now_to_memory). Round-5 A/B at sf0.1:
-# the OHLC drain ran 1.16-1.56 s at 4 partitions vs 1.16-1.24 s at 2
-# (and the session drain 0.80-1.95 vs 0.94-0.97) — 2 is the right
-# provision for ~10k state rows while keeping >1-way state parallelism.
+# state for the windowed-metric drains (throughput/VWAP/latency/enrich)
+# is a few thousand windows / keys (KB-scale), so commit overhead — one
+# file+fsync per partition per micro-batch — dominates any wider
+# setting. Streaming state is not AQE-coalesced and the count freezes
+# into the checkpoint, so it is provisioned explicitly per pipeline
+# (see run_available_now_to_memory). Round-5 A/B at sf0.1: the OHLC
+# drain ran 1.16-1.56 s at 4 partitions vs 1.16-1.24 s at 2 (and the
+# session drain 0.80-1.95 vs 0.94-0.97) — 2 is the right provision for
+# ~10k state rows while keeping >1-way state parallelism.
 _STATE_PARTS = 2
+
+
+def _scaled_state_parts(
+    sf_dir: str, bytes_per_part: int, floor: int = 2, cap: int = 32
+) -> int:
+    """State partitions sized to expected STATE volume, from input bytes.
+
+    The per-user drains (session windows, OHLC bars, dedup keys) hold
+    state whose row count scales with the INPUT — ~1 state row per
+    user-session / user-minute / distinct key — unlike the windowed
+    metric drains whose state is output-key bound (KB-scale at any sf).
+    A fixed provision is therefore wrong across tiers: the round-5
+    sf0.1 sweep picked 2 partitions for ~10k session rows, but at sf1
+    the same drain holds ~1M session rows and 2 stores serialize it
+    (measured 14.8 s at 2 -> 3.5-4.9 s at 32, a 3-4x win; the OHLC
+    sweep at sf0.1 already picked 16 for its ~100k rows/25 MB state).
+    Each query passes its own bytes-per-partition density: the events
+    file size is a deterministic, no-extra-pass proxy for state rows,
+    and the cap mirrors the core count — on a real cluster this is the
+    state-bytes / executor-memory-budget rule, re-keyed at deploy time.
+    """
+    sz = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    return max(floor, min(cap, int(sz // bytes_per_part)))
 
 
 @query(
@@ -104,7 +130,14 @@ def q_stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_file_stream(spark, sf_dir)
     deduped = stream_dedup(stream, keys=["user_id", "event_type"])
-    return run_available_now_to_memory(spark, deduped, mode="append", state_partitions=_STATE_PARTS)
+    # Dedup state = one row per distinct key — input-scaled, not
+    # output-window-bound; see _scaled_state_parts.
+    return run_available_now_to_memory(
+        spark,
+        deduped,
+        mode="append",
+        state_partitions=_scaled_state_parts(sf_dir, 640 << 10),
+    )
 
 
 @query(
@@ -227,7 +260,10 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshots across MANY micro-batches, which a bounded availableNow
     # drain never amortizes; kept on the default in-memory provider.
     return run_available_now_to_memory(
-        spark, agg, mode="complete", state_partitions=16
+        spark,
+        agg,
+        mode="complete",
+        state_partitions=_scaled_state_parts(sf_dir, 128 << 10, floor=16),
     )
 
 
@@ -287,6 +323,11 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+    # Session state is ~1 row per user-session (input-scaled); see
+    # _scaled_state_parts for the sweep numbers behind the density.
     return run_available_now_to_memory(
-        spark, agg, mode="complete", state_partitions=_STATE_PARTS
+        spark,
+        agg,
+        mode="complete",
+        state_partitions=_scaled_state_parts(sf_dir, 640 << 10),
     )

@@ -101,7 +101,35 @@ def run_available_now_to_memory(
             q.stop()
         if ckpt_dir is not None:
             shutil.rmtree(ckpt_dir, ignore_errors=True)
-    return spark.table(name)
+        # Unload this drain's state-store providers NOW instead of
+        # waiting for the maintenance thread (60 s default): each
+        # provider keeps its full loaded key map on-heap after the
+        # query stops, so a sweep of bounded drains accumulates every
+        # drain's state (~1M entries per per-user drain at sf1) until
+        # maintenance runs — measured as 8 s -> 89 s blow-ups on later
+        # drains in one session, collapsing to a stable 8.7-9.7 s with
+        # the explicit unload. StateStore.stop() is the test-suite
+        # unload hook; providers lazily re-register (and the
+        # maintenance task restarts) on the next stateful query, and a
+        # concurrent live query would reload from its checkpoint — the
+        # normal recovery path. Best-effort: a private JVM surface, so
+        # any signature drift degrades to the maintenance-thread
+        # behavior rather than failing the drain.
+        try:
+            jvm = spark._jvm
+            jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        except Exception:  # pragma: no cover - depends on Spark internals
+            pass
+    # The memory sink pins its rows on the DRIVER for as long as its
+    # temp view stays registered — across a 101-query bench sweep the
+    # per-user drains (session/OHLC, ~1M rows each at sf1, two passes
+    # apiece) would accumulate unbounded driver heap and GC pressure.
+    # Re-home the result into block-manager storage (spillable,
+    # ContextCleaner-collected once the caller drops its reference)
+    # and drop the sink view: the drain leaves no session residue.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def foreach_batch_parquet(
