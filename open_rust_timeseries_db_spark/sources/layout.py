@@ -1,0 +1,208 @@
+"""Time-chunked table layout: partition pruning, ordered files, compaction.
+
+The reference is a tick-ingest engine; at 100 TB the storage layout is
+what makes its query half viable. Three facts drive this module:
+
+1. **Almost every tick query carries a time predicate.** A layout that
+   maps time ranges to directories (chunk partitioning) lets the scan
+   skip whole directories at PLANNING time (partition pruning), and
+   sorting rows by timestamp WITHIN each file gives tight per-row-group
+   min/max stats so the parquet reader skips row groups at RUNTIME —
+   the hypertable-chunk pattern re-expressed as vanilla Spark
+   partitioned parquet (no table format required).
+
+2. **Chunk layout is metadata, not convention.** The chunk width and
+   timestamp column are recorded in a sidecar manifest at write time;
+   readers derive the pruning predicate from the manifest instead of
+   callers re-supplying (and mis-supplying) them.
+
+3. **Streaming ingest produces small files forever.** Each micro-batch
+   commit (streaming/run.foreach_batch_parquet) lands one file per
+   state partition per trigger; a month of that is millions of tiny
+   files and a scheduler-bound scan. Compaction is therefore a
+   first-class maintenance operator, not an afterthought: rewrite each
+   chunk's files into ~target-size, timestamp-sorted files, atomically
+   per chunk, so readers never see a half-compacted chunk.
+
+At cluster scale the same code runs with two changes the docstrings
+note inline: the atomic directory swap becomes the table format's
+commit (Iceberg/Delta snapshot), and chunks compact as independent
+parallel jobs instead of a driver loop.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "_time_layout.json"
+_CHUNK_COL = "chunk_us"
+
+DAY_US = 86_400_000_000
+HOUR_US = 3_600_000_000
+
+
+def write_time_layout(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    chunk_us: int = DAY_US,
+    n_range_partitions: int | None = None,
+) -> None:
+    """Write ``df`` as a time-chunked, timestamp-sorted parquet table.
+
+    Rows land under ``path/chunk_us=<floor(ts/chunk)*chunk>/`` and are
+    range-repartitioned + sorted by (chunk, ts) first, so each output
+    file covers a tight, non-overlapping timestamp span — the property
+    that makes parquet min/max row-group skipping effective. ``ts_col``
+    must be an epoch-microsecond long (the engine's canonical encoding,
+    queries/helpers.events_us).
+
+    ``n_range_partitions`` bounds output parallelism (and, with
+    chunking, the files-per-chunk); defaults to the session's shuffle
+    partitioning. At 100 TB you size it as bytes / target-file-size
+    exactly like shuffle partitions, and the range exchange samples
+    keys, so skewed days spread across many partitions instead of one.
+    """
+    chunk = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(chunk_us))).cast("long")
+    out = df.withColumn(_CHUNK_COL, chunk)
+    n = n_range_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    (
+        out.repartitionByRange(n, _CHUNK_COL, ts_col)
+        .sortWithinPartitions(_CHUNK_COL, ts_col)
+        .write.mode("overwrite")
+        .partitionBy(_CHUNK_COL)
+        .parquet(path)
+    )
+    manifest = {"ts_col": ts_col, "chunk_us": chunk_us, "version": 1}
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, _MANIFEST)) as f:
+        return json.load(f)
+
+
+def read_time_range(
+    spark: SparkSession,
+    path: str,
+    lo_us: int | None = None,
+    hi_us: int | None = None,
+) -> DataFrame:
+    """Scan a time-chunked table for ``lo_us <= ts < hi_us``.
+
+    Two pruning tiers, both derived from the manifest so callers state
+    only the interval:
+
+    - a predicate on the CHUNK partition column — Catalyst prunes
+      non-overlapping ``chunk_us=`` directories at planning time
+      (PartitionFilters in the scan node), so the file listing itself
+      shrinks: the property that keeps a 10-year tick archive queryable
+      for a one-day window;
+    - the row-level ``ts`` predicate — pushed to the parquet reader
+      (PushedFilters), skipping row groups via min/max, which the
+      sorted write above made tight.
+
+    Returns the full row set of the interval with the chunk column
+    dropped (layout detail, not data).
+    """
+    man = read_manifest(path)
+    ts_col, chunk_us = man["ts_col"], man["chunk_us"]
+    df = spark.read.parquet(path)
+    if lo_us is not None:
+        df = df.filter(
+            (F.col(_CHUNK_COL) >= (lo_us // chunk_us) * chunk_us)
+            & (F.col(ts_col) >= lo_us)
+        )
+    if hi_us is not None:
+        df = df.filter(
+            (F.col(_CHUNK_COL) <= ((hi_us - 1) // chunk_us) * chunk_us)
+            & (F.col(ts_col) < hi_us)
+        )
+    return df.drop(_CHUNK_COL)
+
+
+def chunk_file_stats(path: str) -> dict[str, dict]:
+    """Per-chunk file census: {chunk_dir: {n_files, bytes}}.
+
+    Driver-side directory listing — at cluster scale this is a
+    metastore/manifest query, but the quantity measured (files per
+    chunk, bytes per file) is the same one compaction triggers on.
+    """
+    stats: dict[str, dict] = {}
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(f"{_CHUNK_COL}="):
+            continue
+        full = os.path.join(path, entry)
+        files = [
+            f
+            for f in os.listdir(full)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        stats[entry] = {
+            "n_files": len(files),
+            "bytes": sum(os.path.getsize(os.path.join(full, f)) for f in files),
+        }
+    return stats
+
+
+def compact_chunks(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    min_files_to_compact: int = 2,
+) -> dict[str, tuple[int, int]]:
+    """Rewrite each chunk's small files into ~target-size sorted files.
+
+    For every chunk directory holding ``min_files_to_compact`` or more
+    files AND averaging under the target size, read the chunk, re-sort
+    by the manifest timestamp (restoring the ordered-file property that
+    interleaved streaming commits destroyed), and write
+    ``ceil(bytes / target)`` files. The rewrite goes to a scratch
+    directory first and replaces the chunk with two ``os.rename`` calls
+    — readers race against an atomic swap, never a partial directory.
+    At cluster scale this per-chunk commit is exactly what a table
+    format's snapshot swap provides; chunks are independent, so a real
+    deployment fans the loop out as one job per chunk.
+
+    Returns {chunk_dir: (files_before, files_after)} for the chunks
+    rewritten.
+    """
+    man = read_manifest(path)
+    ts_col = man["ts_col"]
+    done: dict[str, tuple[int, int]] = {}
+    for entry, st in chunk_file_stats(path).items():
+        if st["n_files"] < min_files_to_compact:
+            continue
+        if st["bytes"] / st["n_files"] >= target_file_bytes:
+            continue
+        full = os.path.join(path, entry)
+        n_out = max(1, math.ceil(st["bytes"] / target_file_bytes))
+        scratch = os.path.join(path, f".compact-{uuid.uuid4().hex[:8]}")
+        (
+            spark.read.parquet(full)
+            .repartitionByRange(n_out, ts_col)
+            .sortWithinPartitions(ts_col)
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        # Drop the batch writer's _SUCCESS marker so the swapped-in
+        # directory holds only data files like the original chunk.
+        marker = os.path.join(scratch, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
+        trash = os.path.join(path, f".trash-{uuid.uuid4().hex[:8]}")
+        os.rename(full, trash)
+        os.rename(scratch, full)
+        shutil.rmtree(trash, ignore_errors=True)
+        done[entry] = (st["n_files"], len(os.listdir(full)))
+    return done
