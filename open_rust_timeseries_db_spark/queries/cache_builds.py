@@ -137,8 +137,21 @@ def cache_builders(
         # memoized driver-side once per session; two small jobs over
         # cached tables that otherwise land on q_bm25_rank's cold.
         "bm25_scalars": _bm25_scalars_builder(spark, sf_dir),
+        # Time-chunked events layout (sources/layout.py): the one-time
+        # chunked-copy write q_time_window_scan reads pruned — at a
+        # deployment this is the table's ingest-time PRIMARY layout.
+        # The count after the write is parquet-metadata-only.
+        "events_time_layout": lambda: _events_layout_rows(spark, sf_dir),
     }
     return builders
+
+
+def _events_layout_rows(spark: SparkSession, sf_dir: str) -> int:
+    from open_rust_timeseries_db_spark.sources.layout import (
+        events_layout_ckpt,
+    )
+
+    return spark.read.parquet(events_layout_ckpt(spark, sf_dir)).count()
 
 
 def _bm25_scalars_builder(

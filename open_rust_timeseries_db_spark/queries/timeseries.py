@@ -365,3 +365,43 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         (F.col("var_v") > 1e-9) & (F.abs(z) > 2.5)
     ).select("user_id", "ts_us", "value", "n", z.alias("zscore"))
+
+
+# One mid-span day of the testdata's fixed January-2024 month (all sf
+# tiers share the generator's clock): 2024-01-08 UTC.
+_WINDOW_LO_US = 1_704_672_000_000_000
+_WINDOW_HI_US = _WINDOW_LO_US + _DAY_US
+
+
+@query(
+    "q_time_window_scan",
+    f"""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+    FROM events
+    WHERE epoch_us(ts) >= {_WINDOW_LO_US}
+      AND epoch_us(ts) < {_WINDOW_HI_US}
+    """,
+    doc="Time-window scan over the CHUNKED layout (sources/layout.py): "
+    "the table is stored as chunk_us= day directories with ts-sorted "
+    "files (built once per session, charged to the events_time_layout "
+    "cache line), and the one-day read derives BOTH pruning tiers from "
+    "the layout manifest — directory pruning at planning time "
+    "(PartitionFilters skips 29 of 30 chunks before listing) and the "
+    "pushed ts row-filter (row-group min/max skip inside the chunk, "
+    "tight because files are ts-sorted). The oracle scans the flat "
+    "table with the same interval: identical rows prove the layout is "
+    "lossless while the plan census (tests/test_plans.py) proves the "
+    "pruned scan reads a strict subset of files. THE mechanism that "
+    "keeps a multi-year tick archive interactive at 100 TB.",
+    tags=("timeseries", "layout", "pruning"),
+)
+def q_time_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.sources.layout import (
+        events_layout_ckpt,
+        read_time_range,
+    )
+
+    path = events_layout_ckpt(spark, sf_dir)
+    return read_time_range(spark, path, _WINDOW_LO_US, _WINDOW_HI_US).select(
+        "event_id", "user_id", "ts_us", "value"
+    )

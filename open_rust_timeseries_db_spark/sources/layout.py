@@ -36,6 +36,7 @@ import json
 import math
 import os
 import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -85,6 +86,41 @@ def write_time_layout(
     manifest = {"ts_col": ts_col, "chunk_us": chunk_us, "version": 1}
     with open(os.path.join(path, _MANIFEST), "w") as f:
         json.dump(manifest, f)
+
+
+# Session-memoized chunked copies of the events table, keyed like the
+# other session artifacts (functions/text_kernels ckpt tables): the
+# copy is written ONCE per (application, sf_dir) and every
+# time-windowed consumer reads it pruned. In a deployment this is the
+# table's PRIMARY layout written at ingest, not a per-session copy —
+# the builder exists so the bench's cache-build phase charges the
+# one-time write to its own line (queries/cache_builds.py).
+_LAYOUT_MEMO: dict[tuple, str] = {}
+
+
+def events_layout_ckpt(
+    spark: SparkSession, sf_dir: str, chunk_us: int = DAY_US
+) -> str:
+    """Path of the session's time-chunked copy of ``events``.
+
+    Carries the canonical tick projection (event_id, user_id, ts_us,
+    value). Written to tmpfs when the host has one — same rationale as
+    streaming/run's checkpoint placement: session-scoped artifact,
+    never durable storage.
+    """
+    from open_rust_timeseries_db_spark.queries.helpers import events_us
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), chunk_us)
+    path = _LAYOUT_MEMO.get(key)
+    if path is None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        path = os.path.join(base, f"spark-graft-layout-{uuid.uuid4().hex[:10]}")
+        ev = events_us(spark, sf_dir).select(
+            "event_id", "user_id", "ts_us", "value"
+        )
+        write_time_layout(ev, path, ts_col="ts_us", chunk_us=chunk_us)
+        _LAYOUT_MEMO[key] = path
+    return path
 
 
 def read_manifest(path: str) -> dict:
