@@ -405,3 +405,57 @@ def q_time_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_time_range(spark, path, _WINDOW_LO_US, _WINDOW_HI_US).select(
         "event_id", "user_id", "ts_us", "value"
     )
+
+
+# 2024-01-01T00:00:00Z — the generator's month start, shared by every
+# sf tier (TESTDATA.md); day-number arithmetic below derives from it.
+_MONTH_LO_US = 1_704_067_200_000_000
+
+
+@query(
+    "q_chunk_dpp_join",
+    f"""
+    SELECT (epoch_us(ts) // {_DAY_US}) * {_DAY_US} AS chunk_us,
+           COUNT(*) AS n,
+           {sql_dsum("value")} AS sum_value
+    FROM events
+    WHERE (epoch_us(ts) // {_DAY_US}) % 7 = 2
+    GROUP BY 1
+    """,
+    doc="DYNAMIC partition pruning over the chunked layout: a "
+    "generated 31-row calendar dim (one row per January day, "
+    "day-of-week derived) is filtered to one weekday and joined to the "
+    "chunk_us partition column — Catalyst broadcasts the filtered dim "
+    "and re-uses the broadcast as a runtime IN-filter on the directory "
+    "listing (dynamicpruningexpression in the scan, asserted in "
+    "tests/test_layout.py), so only the ~4 matching day-chunks of 30 "
+    "are ever read. This is the selection shape static pruning cannot "
+    "serve (the surviving days are only known after the dim filter "
+    "runs) and THE pattern that makes fact-to-calendar joins viable "
+    "over a multi-year archive. Oracle: the equivalent flat-table "
+    "predicate, so the hash match also re-proves layout losslessness.",
+    tags=("timeseries", "layout", "pruning", "join"),
+)
+def q_chunk_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.sources.layout import (
+        events_layout_ckpt,
+    )
+
+    path = events_layout_ckpt(spark, sf_dir)
+    chunked = spark.read.parquet(path)
+    dim = (
+        spark.range(31)
+        .select(
+            (F.lit(_MONTH_LO_US) + F.col("id") * _DAY_US).alias("chunk_us"),
+            F.pmod(
+                F.lit(_MONTH_LO_US // _DAY_US) + F.col("id"), F.lit(7)
+            ).alias("dow"),
+        )
+        .filter(F.col("dow") == 2)
+    )
+    return (
+        chunked.join(F.broadcast(dim), "chunk_us")
+        .groupBy("chunk_us")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select("chunk_us", "n", "sum_value")
+    )

@@ -180,3 +180,15 @@ class TestCompaction:
         # Second pass: every chunk is now a single file, below
         # min_files_to_compact — nothing rewritten.
         assert compact_chunks(spark, fragmented, target_file_bytes=1 << 30) == {}
+
+
+def test_dpp_join_prunes_at_runtime(spark):
+    """q_chunk_dpp_join's scan carries a dynamicpruningexpression on
+    the chunk column: the filtered calendar dim prunes chunk
+    directories at RUNTIME via the reused broadcast, not post-scan."""
+    from open_rust_timeseries_db_spark.queries import all_queries
+
+    df = all_queries()["q_chunk_dpp_join"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    assert "PartitionFilters" in plan
