@@ -142,6 +142,10 @@ def cache_builders(
         # deployment this is the table's ingest-time PRIMARY layout.
         # The count after the write is parquet-metadata-only.
         "events_time_layout": lambda: _events_layout_rows(spark, sf_dir),
+        # Materialized hourly OHLC bars (queries/timeseries.py): the
+        # continuous aggregate q_ohlc_bars serves and
+        # q_ohlc_daily_rollup re-aggregates exchange-free.
+        "ohlc_hourly": lambda: _ohlc_hourly_rows(spark, sf_dir),
     }
     return builders
 
@@ -152,6 +156,17 @@ def _events_layout_rows(spark: SparkSession, sf_dir: str) -> int:
     )
 
     return spark.read.parquet(events_layout_ckpt(spark, sf_dir)).count()
+
+
+def _ohlc_hourly_rows(spark: SparkSession, sf_dir: str) -> int:
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        cached_count,
+    )
+    from open_rust_timeseries_db_spark.queries.timeseries import (
+        ohlc_hourly_ckpt,
+    )
+
+    return cached_count(ohlc_hourly_ckpt(spark, sf_dir))
 
 
 def _bm25_scalars_builder(
