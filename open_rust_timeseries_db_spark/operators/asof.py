@@ -175,17 +175,18 @@ def _broadcast_pays(
     left is at least BROADCAST_MIN_LEFT_RIGHT_RATIO times bigger (the
     interpreted probe only pays when it saves a much larger left
     shuffle — see the knob comment). Unestimable sides (estimate -1,
-    same "don't know means don't gate" estimator as the percentile
-    operator) take the window path, the shape safe at any size."""
-    from open_rust_timeseries_db_spark.operators.percentiles import (
-        _estimated_size_bytes,
+    the shared "don't know means don't gate" estimator,
+    operators/sizing.py) take the window path, the shape safe at any
+    size."""
+    from open_rust_timeseries_db_spark.operators.sizing import (
+        estimated_size_bytes,
     )
 
     cols = [on, right_ts, *right_values] + ([tiebreak] if tiebreak else [])
-    r_est = _estimated_size_bytes(right.select(*dict.fromkeys(cols)))
+    r_est = estimated_size_bytes(right.select(*dict.fromkeys(cols)))
     if not (0 < r_est <= BROADCAST_RIGHT_MAX_BYTES):
         return False
-    l_est = _estimated_size_bytes(left.select(on, left_ts))
+    l_est = estimated_size_bytes(left.select(on, left_ts))
     return l_est >= BROADCAST_MIN_LEFT_RIGHT_RATIO * r_est
 
 

@@ -461,34 +461,49 @@ def _approx_pct_oracle() -> str:
     "sketch value sits within +-0.5% RANK of p (count of values "
     "<=/< sketch brackets p*n — duplicate-safe). Spark's guarantee at "
     "accuracy 10000 is 1e-4 rank error; a sketch drifting past 5e-3 "
-    "flips the flag and fails the hash. Exact twin: "
-    "q_latency_percentiles.",
+    "flips the flag and fails the hash. Two size-gated strategies "
+    "(cut over by the Catalyst estimate, like the as-of broadcast "
+    "probe): in-memory inputs fuse sketch + rank into ONE window pass "
+    "(2 jobs — sketch, count and row_number share the same "
+    "single-partition exchange); past IN_MEMORY_SORT_MAX_BYTES the "
+    "exact rank side runs binned two-pass selection (operators/"
+    "percentiles.py) — all row-level passes parallel, serial work "
+    "bounded by the bin table — so the check itself survives 100 TB. "
+    "Exact twin: q_latency_percentiles.",
     tags=("analytic", "sketch"),
 )
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.operators.percentiles import (
+        PARQUET_SORT_MAX_BYTES,
+    )
     from open_rust_timeseries_db_spark.queries.registry import FIXED_NOW_US
+    from open_rust_timeseries_db_spark.sources.catalog import table_bytes
 
     ev = events_us(spark, sf_dir)
     lags = ev.select(
-        (F.lit(FIXED_NOW_US) - F.col("ts_us")).alias("lag_us"), "event_id"
-    ).filter(F.col("lag_us") > 0)
-    # One-row sketch frame, broadcast onto the ranked scan: the whole
-    # check is two passes over the lag column (sketch build + combined
-    # rank/exact aggregation) with no driver-side collect.
-    # n rides in the one-row broadcast with the sketch: a second
-    # unpartitioned COUNT window would be its own full-pass Window
-    # operator on top of the row_number sort (measured as the 4th job
-    # on this query's decomp; two single-task window passes where one
-    # suffices).
-    sk = lags.agg(
-        F.percentile_approx("lag_us", _APPROX_PCTS, 10000).alias("qs"),
-        F.count(F.lit(1)).alias("n"),
-    )
+        (F.lit(FIXED_NOW_US) - F.col("ts_us")).alias("__v")
+    ).filter(F.col("__v") > 0)
+    # Zero-cost strategy gate (stat(), not a Catalyst estimate);
+    # unknown (-1) is "too big" and takes the scale-safe strategy.
+    nbytes = table_bytes(sf_dir, "events")
+    if 0 < nbytes <= PARQUET_SORT_MAX_BYTES:
+        return _approx_pct_window(lags)
+    return _approx_pct_binned(lags)
+
+
+def _approx_pct_window(lags: DataFrame) -> DataFrame:
+    """In-memory strategy: sketch, count and row_number all ride ONE
+    single-partition window pass (no separate sketch job, no broadcast
+    attach), then one wide aggregate — the minimal-stage plan for
+    inputs a single task can sort."""
+    eps = _PCT_RANK_EPS
     ranked = lags.select(
-        "lag_us",
-        F.row_number()
-        .over(Window.orderBy("lag_us", "event_id"))
-        .alias("rn"),
+        "__v",
+        F.row_number().over(Window.orderBy("__v")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.percentile_approx("__v", _APPROX_PCTS, 10000)
+        .over(Window.partitionBy())
+        .alias("qs"),
     )
     # expr strings, not Column algebra: the 16-aggregate + 5-struct
     # build is ~2 py4j round trips this way instead of ~400 (plan-build
@@ -498,19 +513,131 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, p in enumerate(_APPROX_PCTS)
         for e in (
             f"MAX(CASE WHEN rn = CAST(ROUND({p!r} * (n - 1)) AS BIGINT) + 1 "
-            f"THEN lag_us END) AS e{i}",
-            f"SUM(CASE WHEN lag_us <= qs[{i}] THEN 1 ELSE 0 END) AS le{i}",
-            f"SUM(CASE WHEN lag_us < qs[{i}] THEN 1 ELSE 0 END) AS lt{i}",
+            f"THEN __v END) AS e{i}",
+            f"SUM(CASE WHEN __v <= qs[{i}] THEN 1 ELSE 0 END) AS le{i}",
+            f"SUM(CASE WHEN __v < qs[{i}] THEN 1 ELSE 0 END) AS lt{i}",
         )
     ]
-    wide = ranked.crossJoin(F.broadcast(sk)).agg(*aggs)
+    wide = ranked.agg(*aggs)
     structs = ", ".join(
         f"struct(CAST({p!r} AS DOUBLE) AS p, e{i} AS exact_lag_us, n, "
-        f"(le{i} >= {p - _PCT_RANK_EPS!r} * n AND "
-        f" lt{i} <= {p + _PCT_RANK_EPS!r} * n) AS rank_ok)"
+        f"(le{i} >= {p - eps!r} * n AND "
+        f" lt{i} <= {p + eps!r} * n) AS rank_ok)"
         for i, p in enumerate(_APPROX_PCTS)
     )
     return wide.selectExpr(f"inline(array({structs}))")
+
+
+def _approx_pct_binned(lags: DataFrame) -> DataFrame:
+    """Scale strategy: the exact rank side via binned two-pass
+    selection; the sketch and the <=/< rank-bracket counts ride the
+    same parallel passes (sketch + bin endpoints share pass 1, bracket
+    counts ride pass 2's map-side-combined histogram agg)."""
+    from open_rust_timeseries_db_spark.operators.percentiles import (
+        N_SELECTION_BINS,
+        selection_bin,
+    )
+
+    # Pass 1 (parallel): sketch + count + bin endpoints in ONE one-row
+    # broadcast frame — the sketch and the selection stats share the
+    # scan.
+    stats = lags.agg(
+        F.percentile_approx("__v", _APPROX_PCTS, 10000).alias("qs"),
+        F.count(F.lit(1)).alias("__n0"),
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+    )
+    binned = lags.join(F.broadcast(stats)).select(
+        "__v",
+        "qs",
+        selection_bin(
+            F.col("__v"),
+            F.col("__lo"),
+            F.col("__hi"),
+            N_SELECTION_BINS,
+            is_float=False,
+        ),
+    )
+    # Pass 2 (parallel): bin histogram, with the sketch-rank counts
+    # (<=/< each sketch value) riding the same map-side-combined agg.
+    # expr strings, not Column algebra: the 11-aggregate build is ~2
+    # py4j round trips this way instead of ~200 (plan-build time is
+    # real cold cost at the driver; see minhash_neardup).
+    eps = _PCT_RANK_EPS
+    hist_aggs = [F.expr("COUNT(*) AS __c")] + [
+        F.expr(e)
+        for i in range(len(_APPROX_PCTS))
+        for e in (
+            f"SUM(CASE WHEN __v <= qs[{i}] THEN 1 ELSE 0 END) AS le{i}",
+            f"SUM(CASE WHEN __v < qs[{i}] THEN 1 ELSE 0 END) AS lt{i}",
+        )
+    ]
+    hist = binned.groupBy("__bin").agg(*hist_aggs)
+    wcum = Window.orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "__bin",
+        "__c",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wall).alias("__n"),
+        *[
+            F.sum(f"{k}{i}").over(wall).alias(f"t{k}{i}")
+            for i in range(len(_APPROX_PCTS))
+            for k in ("le", "lt")
+        ],
+    )
+    # Locate each target rank's bin + in-bin offset; rank_ok needs only
+    # the global <=/< totals, so it rides the tiny target row.
+    def arm(i: int, p: float) -> str:
+        r = f"(CAST(ROUND({p!r} * (__n - 1)) AS BIGINT) + 1)"
+        ok = (
+            f"(tle{i} >= {p - eps!r} * __n AND "
+            f"tlt{i} <= {p + eps!r} * __n)"
+        )
+        return (
+            f"CASE WHEN __cum - __c < {r} AND {r} <= __cum THEN "
+            f"named_struct('p', CAST({p!r} AS DOUBLE), '__tbin', __bin, "
+            f"'__off', {r} - (__cum - __c), 'n', __n, 'rank_ok', {ok}) END"
+        )
+
+    arms = ", ".join(arm(i, p) for i, p in enumerate(_APPROX_PCTS))
+    targets = (
+        cum.selectExpr(f"explode(array({arms})) AS __t")
+        .filter(F.col("__t").isNotNull())
+        .select("__t.*")
+    )
+    # Pass 3 (parallel): refetch only target-bin rows (inner broadcast
+    # join at the scan) and select the value covering each offset.
+    cand = binned.select("__v", "__bin").join(
+        F.broadcast(targets), F.col("__bin") == F.col("__tbin")
+    )
+    per_val = cand.groupBy("p", "__off", "n", "rank_ok", "__v").agg(
+        F.count(F.lit(1)).alias("__c2")
+    )
+    w2 = (
+        Window.partitionBy("p")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum2 = F.sum("__c2").over(w2)
+    return (
+        per_val.select(
+            "p",
+            F.col("__v").alias("exact_lag_us"),
+            "n",
+            "rank_ok",
+            (cum2 - F.col("__c2")).alias("__before"),
+            cum2.alias("__cum2"),
+            "__off",
+        )
+        .filter(
+            (F.col("__before") < F.col("__off"))
+            & (F.col("__off") <= F.col("__cum2"))
+        )
+        .select("p", "exact_lag_us", "n", "rank_ok")
+    )
 
 
 @query(

@@ -124,33 +124,33 @@ _PCTS = [("p50", 0.50), ("p90", 0.90), ("p99", 0.99), ("p999", 0.999), ("p9999",
     "reference's sort-then-index percentile (src/tests/integration_test.rs:"
     "359-364: sort_unstable + round(p*(n-1))). Implemented rank-based so "
     "Spark and DuckDB agree bit-for-bit (interpolating percentile "
-    "implementations differ between engines). Scale: exact global "
-    "percentile needs a total order — at 100 TB use percentile_approx "
-    "(see operators.percentiles.approx_percentiles).",
+    "implementations differ between engines). Scale: binned two-pass "
+    "selection (operators.percentiles.nearest_rank_percentiles) — every "
+    "row-level pass is parallel; the serial window sees only the "
+    "bounded bin histogram, so the exact answer survives 100 TB.",
     tags=("parity", "agg", "percentile"),
 )
 def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.operators.percentiles import (
+        PARQUET_SORT_MAX_BYTES,
+        nearest_rank_percentiles,
+    )
+    from open_rust_timeseries_db_spark.sources.catalog import table_bytes
+
     ev = events_us(spark, sf_dir)
     lags = ev.select(
         (F.lit(FIXED_NOW_US) - F.col("ts_us")).alias("lag_us"), "event_id"
     )
-    w = Window.orderBy("lag_us", "event_id")
-    ranked = lags.select(
-        "lag_us",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # Zero-cost strategy gate: a stat() of the table instead of a
+    # driver-side Catalyst estimate per call; unknown (-1) is "too
+    # big" and takes the strategy safe at any scale.
+    nbytes = table_bytes(sf_dir, "events")
+    strategy = (
+        "window" if 0 < nbytes <= PARQUET_SORT_MAX_BYTES else "binned"
     )
-    aggs = [
-        F.max(
-            F.when(
-                F.col("rn")
-                == F.round(F.lit(p) * (F.col("n") - 1)).cast("bigint") + 1,
-                F.col("lag_us"),
-            )
-        ).alias(nm)
-        for nm, p in _PCTS
-    ]
-    return ranked.agg(*aggs)
+    return nearest_rank_percentiles(
+        lags, "lag_us", _PCTS, tiebreak="event_id", strategy=strategy
+    )
 
 
 @query(

@@ -192,6 +192,30 @@ def _file_schema(path: str) -> T.StructType:
     return T.StructType(fields)
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk byte size of a testdata table (file or directory tables).
+
+    The zero-cost input for size-gated strategy cutovers at the query
+    layer (a Catalyst estimate costs a driver-side optimizer pass per
+    call; a stat() doesn't). Returns -1 when the table can't be sized —
+    callers must treat unknown as "too big" and take the strategy that
+    is safe at any scale. Parquet bytes UNDERESTIMATE in-memory size
+    (compression + encoding, typically 2-5x), so budgets compared
+    against this must be set well below their in-memory equivalents.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return -1
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; validates the declared schema by name set.
 

@@ -1,107 +1,165 @@
-"""The exact-percentile operator must refuse cluster-scale inputs.
+"""Exact percentiles must scale past the single-task sort budget.
 
-``nearest_rank_percentiles`` funnels its global sort through one task
-(reference semantics: sort + round(p*(n-1)) indexing,
-src/tests/integration_test.rs:359-364); the scale contract is enforced
-at runtime by a Catalyst size-estimate gate, not just a docstring.
+``nearest_rank_percentiles`` (reference semantics: sort +
+round(p*(n-1)) indexing, src/tests/integration_test.rs:359-364) has two
+size-gated strategies: a minimal-stage single-task window for in-memory
+inputs, and binned two-pass selection past the budget (or when the size
+is unknown) — every row-level pass fully parallel, the only serial
+window over the bounded bin histogram. These tests pin (a) exactness of
+BOTH strategies against a brute-force python sort across adversarial
+shapes — duplicates, constants, negatives, floats, bin-boundary
+clusters — (b) strategy equality, and (c) the binned plan shape: no
+SinglePartition exchange feeding a Sort/Window whose input is raw rows
+rather than a pre-aggregated histogram.
 """
 
 from __future__ import annotations
+
+import re
 
 import pytest
 from pyspark.sql import functions as F
 
 import open_rust_timeseries_db_spark.operators.percentiles as pct
 
-
-def _frame(spark):
-    return spark.range(0, 1000).select(
-        F.col("id").alias("tie"), (F.col("id") % 97).cast("double").alias("v")
-    )
+PCTS = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
 
 
-def test_exact_percentiles_under_budget(spark):
-    out = pct.nearest_rank_percentiles(
-        _frame(spark), "v", [("p50", 0.5), ("p99", 0.99)], tiebreak="tie"
-    ).collect()[0]
-    # 1000 rows of (id % 97): nearest-rank indexes round(p*999).
-    vals = sorted((i % 97, i) for i in range(1000))
-    assert out["p50"] == float(vals[round(0.5 * 999)][0])
-    assert out["p99"] == float(vals[round(0.99 * 999)][0])
+def _expected(vals: list[float], p: float) -> float:
+    s = sorted(vals)
+    # Spark F.round is HALF_UP (not banker's): round(0.5) -> 1.
+    import decimal
 
-
-def test_exact_percentiles_refuse_over_budget(spark, monkeypatch):
-    monkeypatch.setattr(pct, "EXACT_SORT_MAX_BYTES", 1)
-    with pytest.raises(ValueError, match="exact-sort budget"):
-        pct.nearest_rank_percentiles(
-            _frame(spark), "v", [("p50", 0.5)], tiebreak="tie"
+    r = int(
+        decimal.Decimal(p * (len(s) - 1)).quantize(
+            decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
         )
+    )
+    return s[r]
 
 
-def test_size_estimate_is_sane(spark):
-    est = pct._estimated_size_bytes(_frame(spark))
-    # 1000 narrow rows: a real positive estimate far below the budget.
-    assert 0 < est < pct.EXACT_SORT_MAX_BYTES
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [float(i % 97) for i in range(1000)],  # heavy duplicates
+        [float(i) for i in range(1000)],  # all distinct
+        [1.0] * 500,  # constant column (hi == lo)
+        [float(-i) for i in range(333)],  # negatives
+        [0.0] * 999 + [1e12],  # outlier stretches the bin range
+        [float(i) / 7.0 for i in range(1, 100)],  # non-integer doubles
+    ],
+)
+def test_binned_selection_matches_bruteforce(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    for strategy in ("window", "binned"):
+        out = pct.nearest_rank_percentiles(
+            df, "v", PCTS, strategy=strategy
+        ).collect()[0]
+        for name, p in PCTS:
+            assert out[name] == _expected(vals, p), (strategy, name, p)
 
 
-def test_unestimable_input_not_gated(spark, monkeypatch):
-    # LogicalRDD leaves have no Catalyst size estimate — they report
-    # spark.sql.defaultSizeInBytes (Long.MaxValue stock), and joins
-    # MULTIPLY child estimates, so bogus sizes propagate upward. Those
-    # must read as "unknown" (gate skipped), not trip the budget and
-    # raise on a public API.
-    monkeypatch.setattr(pct, "EXACT_SORT_MAX_BYTES", 1)
+def test_bigint_values_exact(spark):
+    # Integer columns bin through double arithmetic (monotone, maybe
+    # lossy) but select on the ORIGINAL values — the answer is exact.
+    vals = [10**15 + i for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    out = pct.nearest_rank_percentiles(df, "v", PCTS).collect()[0]
+    for name, p in PCTS:
+        assert out[name] == _expected(vals, p), (name, p)
+
+
+def test_nulls_ignored_and_empty_input(spark):
+    df = spark.createDataFrame(
+        [(None,), (2.0,), (1.0,), (None,), (3.0,)], "v double"
+    )
+    out = pct.nearest_rank_percentiles(df, "v", [("p50", 0.5)]).collect()[0]
+    assert out["p50"] == 2.0
+    empty = df.filter(F.col("v") > 100.0)
+    row = pct.nearest_rank_percentiles(empty, "v", [("p50", 0.5)]).collect()
+    assert len(row) == 1 and row[0]["p50"] is None
+
+
+def test_nan_sorts_last(spark):
+    # Spark's total order puts NaN greatest; the top-bin NaN routing
+    # must reproduce that, not poison the bin arithmetic.
+    vals = [1.0, 2.0, 3.0, 4.0, float("nan")]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = pct.nearest_rank_percentiles(
+        df, "v", [("p50", 0.5), ("p100", 1.0)]
+    ).collect()[0]
+    # n=5: r(0.5) = round(0.5*4)+1 = 3 -> third of [1,2,3,4,NaN].
+    assert out["p50"] == 3.0
+    assert str(out["p100"]) == "nan"
+
+
+def test_non_numeric_falls_back_to_distinct_histogram(spark):
+    df = spark.createDataFrame(
+        [(c,) for c in "dacbe"], "v string"
+    )
+    out = pct.nearest_rank_percentiles(df, "v", [("p50", 0.5)]).collect()[0]
+    assert out["p50"] == "c"
+
+
+def test_unestimable_input_runs(spark):
+    # LogicalRDD leaves have no Catalyst size estimate; the old
+    # operator gated on it. The binned path has nothing to gate —
+    # arbitrary inputs just run.
     rdd = spark.sparkContext.parallelize(
         [(float(i % 97), i) for i in range(100)]
     )
     df = spark.createDataFrame(rdd, "v double, tie long")
-    assert pct._estimated_size_bytes(df.select("v", "tie")) == -1
     out = pct.nearest_rank_percentiles(
         df, "v", [("p50", 0.5)], tiebreak="tie"
     ).collect()[0]
-    vals = sorted((i % 97, i) for i in range(100))
-    assert out["p50"] == float(vals[round(0.5 * 99)][0])
+    vals = sorted(i % 97 for i in range(100))
+    assert out["p50"] == float(vals[round(0.5 * 99)])
 
 
-def test_unestimable_input_projected_narrow_not_gated(spark, monkeypatch):
-    # Catalyst SCALES the bogus Long.MaxValue leaf estimate by the
-    # projection's column-width ratio, so selecting 2 of 3 columns
-    # lands the estimate BELOW defaultSizeInBytes while still being
-    # absurd (~3.35e18 "bytes" for 100 rows). The sanity ceiling must
-    # catch it; without it this raised ValueError on a 100-row frame.
-    monkeypatch.setattr(pct, "EXACT_SORT_MAX_BYTES", 1)
-    rdd = spark.sparkContext.parallelize(
-        [(float(i % 97), i, f"pad{i}") for i in range(100)]
+def test_binned_no_single_task_sort_over_raw_rows(spark):
+    """The binned strategy's plan contract: every SinglePartition
+    exchange feeding a Sort/Window must sit ABOVE a HashAggregate
+    (i.e. sees a bounded histogram, never raw rows). The window
+    strategy exchanges the full row set into one sort task — which is
+    why "auto" refuses it past IN_MEMORY_SORT_MAX_BYTES."""
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 997).cast("double").alias("v")
     )
-    df = spark.createDataFrame(rdd, "v double, tie long, extra string")
-    assert pct._estimated_size_bytes(df.select("v", "tie")) == -1
-    out = pct.nearest_rank_percentiles(
-        df, "v", [("p50", 0.5)], tiebreak="tie"
-    ).collect()[0]
-    vals = sorted((i % 97, i) for i in range(100))
-    assert out["p50"] == float(vals[round(0.5 * 99)][0])
+    plan = (
+        pct.nearest_rank_percentiles(df, "v", PCTS, strategy="binned")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Indented tree: for each "Exchange SinglePartition" line, the
+    # nearest more-indented subtree below it must contain a
+    # HashAggregate before any leaf scan.
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        depth = len(line) - len(line.lstrip(" +-:*("))
+        subtree = []
+        for below in lines[i + 1 :]:
+            d = len(below) - len(below.lstrip(" +-:*("))
+            if d <= depth and below.strip():
+                break
+            subtree.append(below)
+        assert any("HashAggregate" in s for s in subtree), (
+            "SinglePartition exchange over raw rows:\n" + plan
+        )
 
 
-def test_unestimable_join_product_not_gated(spark, monkeypatch):
-    # A join above an unestimable leaf inherits (multiplies) the bogus
-    # estimate; the guard must treat the whole plan as unknown.
-    monkeypatch.setattr(pct, "EXACT_SORT_MAX_BYTES", 1)
-    rdd = spark.sparkContext.parallelize([(float(i), i % 5) for i in range(50)])
-    left = spark.createDataFrame(rdd, "v double, k int")
-    right = spark.range(5).select(F.col("id").cast("int").alias("k"))
-    joined = left.join(right, "k").select("v")
-    assert pct._estimated_size_bytes(joined) == -1
-    out = pct.nearest_rank_percentiles(joined, "v", [("p50", 0.5)]).collect()[0]
-    # Spark F.round is HALF_UP: round(0.5 * 49) = 25 (not banker's 24).
-    assert out["p50"] == float(sorted(float(i) for i in range(50))[25])
-
-
-def test_grouped_variant_not_gated(spark, monkeypatch):
-    # The per-key form sorts within key partitions (parallel) and must
-    # stay usable past the global budget.
-    monkeypatch.setattr(pct, "EXACT_SORT_MAX_BYTES", 1)
-    df = _frame(spark).withColumn("k", (F.col("tie") % 2).cast("int"))
+def test_grouped_variant_parallel_by_key(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("tie"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        (F.col("id") % 2).cast("int").alias("k"),
+    )
     rows = pct.nearest_rank_percentiles_by(
         df, "k", "v", [("p50", 0.5)], tiebreak="tie"
     ).collect()
     assert len(rows) == 2
+    for row in rows:
+        vals = [float(i % 97) for i in range(1000) if i % 2 == row["k"]]
+        assert row["p50"] == _expected(vals, 0.5)

@@ -353,12 +353,15 @@ def test_single_task_sorts_confined_to_allowlist(spark, qs):
 
     # query -> why a single-task sort/window is acceptable there
     allow = {
-        # Nearest-rank global percentiles: reference-exact semantics
-        # (sort + round(p*(n-1)) indexing); approx_percentiles is the
-        # documented 100 TB path, and operators/percentiles.py gates
-        # the reusable operator on estimated input size.
-        "q_latency_percentiles": "exact-percentile parity twin",
-        "q_approx_percentile": "error-bound check needs the exact rank side",
+        # Nearest-rank global percentiles: size-gated strategy — at
+        # bench scale the on-disk gate picks the minimal-stage
+        # single-task window (the right plan when one task can sort
+        # the rows); past PARQUET_SORT_MAX_BYTES both queries switch
+        # to binned two-pass selection, whose only serial window runs
+        # over the bounded bin histogram (test_percentile_guard pins
+        # the binned plan shape and the strategies' equality).
+        "q_latency_percentiles": "size-gated in-memory strategy",
+        "q_approx_percentile": "size-gated in-memory strategy",
         # Global NTILE(10): docstring routes scale users to
         # approx_percentile bounds + bucketed aggregation.
         "q_length_deciles": "exact-decile parity twin",
@@ -429,7 +432,6 @@ def test_no_cartesian_products_and_bnlj_allowlisted(spark, qs):
     bounded side: one-row scalar/bounds attaches and the documented
     range join (theta predicate, broadcast build side)."""
     allow_bnlj = {
-        "q_approx_percentile": "one-row sketch frame attach",
         "q_gapfill_locf": "one-row spine-bounds attach",
         "q_range_join": "theta join, broadcast build side by design",
         "q_set_ops": "one-row count attach",
