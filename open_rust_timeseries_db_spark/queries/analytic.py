@@ -401,6 +401,113 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_K = 20
+_CMS_BOUND = 2.718281828  # e — the Markov bound factor of the CMS proof
+
+
+def _heavy_hitters_oracle() -> str:
+    """DuckDB twin of q_heavy_hitters: the md5-affine cell hashes are
+    engine-portable, so the oracle rebuilds the IDENTICAL count-min
+    grid and the whole sketch is hash-checked cell-for-cell through
+    the estimates."""
+    from open_rust_timeseries_db_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+
+    def cell(j_expr: str, key_expr: str) -> str:
+        return (
+            f"CAST(('0x' || substring(md5(CAST({j_expr} AS VARCHAR) || ':' "
+            f"|| CAST({key_expr} AS VARCHAR)), 1, 15)) AS BIGINT) % {CMS_WIDTH}"
+        )
+
+    return f"""
+    WITH js AS (
+      SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS j
+    ), cells AS (
+      SELECT j, {cell("j", "user_id")} AS cell, COUNT(*) AS c
+      FROM events, js GROUP BY 1, 2
+    ), exact AS (
+      SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+    ), topk AS (
+      SELECT user_id, exact_n FROM exact
+      ORDER BY exact_n DESC, user_id ASC LIMIT {_CMS_K}
+    ), est AS (
+      SELECT t.user_id, MIN(c.c) AS est_n
+      FROM topk t
+      CROSS JOIN js
+      JOIN cells c ON c.j = js.j AND c.cell = {cell("js.j", "t.user_id")}
+      GROUP BY t.user_id
+    ), n AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS N FROM cells WHERE j = 0
+    )
+    SELECT t.user_id, t.exact_n, e.est_n,
+           e.est_n >= t.exact_n AS est_ge_exact,
+           e.est_n <= t.exact_n
+             + CAST(CEIL({_CMS_BOUND!r} * N / {CMS_WIDTH}) AS BIGINT)
+             AS within_bound
+    FROM topk t JOIN est e ON e.user_id = t.user_id CROSS JOIN n
+    """
+
+
+@query(
+    "q_heavy_hitters",
+    _heavy_hitters_oracle(),
+    doc="Count-min heavy hitters: the hot-key detector that sizes skew "
+    "mitigation (operators/skew.py salting, the LSH hot-bucket splits) "
+    "before a 100 TB join. The sketch grid is DEPTH x WIDTH cells "
+    "regardless of input size, builds in one fully-parallel pass "
+    "(map-side combine collapses each task to the grid before the "
+    "shuffle) and merges by cell-wise addition. Estimates are "
+    "ONE-SIDED (est >= exact always — a cold verdict is trustworthy), "
+    "checked here per top-k key: est_ge_exact is a mathematical "
+    "invariant, within_bound the e*N/WIDTH Markov bound. md5-affine "
+    "cell hashes (the q_dedup_near family) make every cell "
+    "bit-reproducible in DuckDB, so the oracle hash-checks the SKETCH "
+    "itself, not just the exact side. The exact top-k here is the "
+    "verification yardstick; the production path at scale keeps only "
+    "the grid + candidate probes.",
+    tags=("analytic", "sketch"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_estimate,
+        count_min_cells,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select("user_id")
+    cms = count_min_cells(keys, "user_id")
+    exact = keys.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    topk = exact.orderBy(
+        F.col("exact_n").desc(), F.col("user_id").asc()
+    ).limit(_CMS_K)
+    est = cms_estimate(topk.select("user_id"), cms, "user_id")
+    # N rides out of the sketch itself (row 0 sums to the input count)
+    # — no extra pass over the data.
+    n_total = cms.filter(F.col("j") == 0).agg(
+        F.sum("c").cast("bigint").alias("__N")
+    )
+    return (
+        topk.join(est, "user_id")
+        .join(F.broadcast(n_total))
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") >= F.col("exact_n")).alias("est_ge_exact"),
+            (
+                F.col("est_n")
+                <= F.col("exact_n")
+                + F.ceil(
+                    F.lit(_CMS_BOUND) * F.col("__N") / F.lit(CMS_WIDTH)
+                ).cast("bigint")
+            ).alias("within_bound"),
+        )
+    )
+
+
 def _approx_pct_oracle() -> str:
     """DuckDB twin of q_approx_percentile: same exact nearest-rank
     values, same rank-bracket check against DuckDB's OWN t-digest."""

@@ -162,3 +162,74 @@ def test_ann_recall_slo_wide_query_set(spark):
     assert macros[1] >= 0.55, f"recall@5 SLO broke: nprobe=2 macro {macros[1]:.3f}"
     assert macros[0] <= macros[1] <= macros[2], f"recall not monotone: {macros}"
     assert macros[2] == 1.0, f"full probe must be exact, got {macros[2]:.4f}"
+
+
+def test_count_min_one_sided_and_bounded_grid(spark):
+    """CMS invariants on an adversarially skewed synthetic corpus: the
+    estimate NEVER undercounts any key (the property skew decisions
+    rely on), the grid stays <= depth*width rows however many keys go
+    in, and every estimate respects the e*N/width Markov bound for
+    this deterministic hash family."""
+    from open_rust_timeseries_db_spark.operators.sketches import (
+        cms_estimate,
+        count_min_cells,
+    )
+
+    # 1 bot key with 5000 rows + 10k long-tail keys with 1 row each.
+    df = spark.range(0, 15_000).select(
+        F.when(F.col("id") < 5_000, F.lit(-1))
+        .otherwise(F.col("id"))
+        .alias("k")
+    )
+    depth, width = 4, 256  # narrow grid to force real collisions
+    cms = count_min_cells(df, "k", depth, width).collect()
+    assert len(cms) <= depth * width
+    n = sum(r["c"] for r in cms if r["j"] == 0)
+    assert n == 15_000
+    keys = df.distinct()
+    est = {
+        r["k"]: r["est_n"]
+        for r in cms_estimate(
+            keys,
+            count_min_cells(df, "k", depth, width),
+            "k",
+            depth,
+            width,
+        ).collect()
+    }
+    exact = {r["k"]: r["cnt"] for r in df.groupBy("k").count().withColumnRenamed("count", "cnt").collect()}
+    import math
+
+    slack = math.ceil(2.718281828 * n / width)
+    assert all(est[k] >= exact[k] for k in exact), "undercount: broken CMS"
+    over = [est[k] - exact[k] for k in exact]
+    assert max(over) <= slack, f"max overcount {max(over)} > Markov slack {slack}"
+    # The bot key must dominate every estimate (heavy hitter visible).
+    assert est[-1] >= 5_000
+
+
+def test_count_min_merges_by_cell_addition(spark):
+    """Mergeability — the property that makes the sketch shippable
+    across partitions, streams and days: grid(A ++ B) must equal
+    cell-wise grid(A) + grid(B)."""
+    from open_rust_timeseries_db_spark.operators.sketches import (
+        count_min_cells,
+    )
+
+    a = spark.range(0, 700).select((F.col("id") % 37).alias("k"))
+    b = spark.range(0, 900).select((F.col("id") % 53).alias("k"))
+    depth, width = 3, 64
+    ga = {
+        (r["j"], r["cell"]): r["c"]
+        for r in count_min_cells(a, "k", depth, width).collect()
+    }
+    gb = {
+        (r["j"], r["cell"]): r["c"]
+        for r in count_min_cells(b, "k", depth, width).collect()
+    }
+    gu = {
+        (r["j"], r["cell"]): r["c"]
+        for r in count_min_cells(a.unionAll(b), "k", depth, width).collect()
+    }
+    merged = {cell: ga.get(cell, 0) + gb.get(cell, 0) for cell in set(ga) | set(gb)}
+    assert gu == merged
