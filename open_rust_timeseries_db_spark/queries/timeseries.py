@@ -78,6 +78,71 @@ def ohlc_hourly_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_ckpt(ev, build, ("ohlc_hourly",), part_by=("user_id",))
 
 
+def ohlc_increment(bars: DataFrame, new_ticks: DataFrame) -> DataFrame:
+    """Incrementally refresh materialized hourly bars with an append
+    batch — the continuous-aggregate INVALIDATION pattern: aggregation
+    work is proportional to the BATCH, never the history.
+
+    ``new_ticks`` carries (user_id, ts_us, value, event_id). The batch
+    aggregates to bar partials with the same expressions as the full
+    build (one shuffle of batch-size rows); existing bars split into
+    touched (left-semi on the delta's bar keys) and untouched
+    (left-anti) — only touched bars re-enter aggregation, merged with
+    the delta through the carried partials: open/close via
+    min_by/max_by on the ord partials (exact under ties because ord is
+    a total order), high/low/n_ticks by plain max/min/sum, volume
+    through the fixed-point dsum fold (order-insensitive, so merge
+    order can't flip low bits). At 100 TB with the aggregate stored as
+    a table partitioned like the cache (hash on symbol / chunked on
+    time), the anti/semi split is partition-pruned to the batch's time
+    range and the merge touches only the affected bars — TimescaleDB's
+    continuous-aggregate refresh, Spark-first.
+
+    Exactness is test-pinned: incremental(80% build + 20% batch) must
+    equal the full rebuild row-for-row including ord partials
+    (tests/test_continuous_aggregate.py).
+    """
+    delta = (
+        new_ticks.select(
+            "user_id",
+            F.expr(f"ts_us div {_HOUR_US}").alias("bucket_hour"),
+            "value",
+            (F.col("ts_us") * 1000 + F.col("event_id") % 1000).alias("ord"),
+        )
+        .groupBy("user_id", "bucket_hour")
+        .agg(
+            (F.first("bucket_hour") * _HOUR_US).alias("bucket_start_us"),
+            F.min_by("value", "ord").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", "ord").alias("close_v"),
+            F.min_by("ord", "ord").alias("open_ord"),
+            F.max_by("ord", "ord").alias("close_ord"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            dsum("value").alias("volume"),
+        )
+    )
+    keys = ["user_id", "bucket_hour"]
+    touched = bars.join(delta.select(*keys), keys, "left_semi")
+    untouched = bars.join(delta.select(*keys), keys, "left_anti")
+    merged = (
+        touched.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            F.min("bucket_start_us").alias("bucket_start_us"),
+            F.min_by("open_v", "open_ord").alias("open_v"),
+            F.max("high_v").alias("high_v"),
+            F.min("low_v").alias("low_v"),
+            F.max_by("close_v", "close_ord").alias("close_v"),
+            F.min("open_ord").alias("open_ord"),
+            F.max("close_ord").alias("close_ord"),
+            F.sum("n_ticks").alias("n_ticks"),
+            dsum("volume").alias("volume"),
+        )
+    )
+    return untouched.unionByName(merged.select(*untouched.columns))
+
+
 @query(
     "q_ohlc_bars",
     f"""
