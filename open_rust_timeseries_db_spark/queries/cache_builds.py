@@ -142,6 +142,10 @@ def cache_builders(
         # deployment this is the table's ingest-time PRIMARY layout.
         # The count after the write is parquet-metadata-only.
         "events_time_layout": lambda: _events_layout_rows(spark, sf_dir),
+        # Z-ordered chunked events copy (sources/layout.py): the 2-D
+        # clustered layout q_zorder_scan reads — files Morton-ordered
+        # over (ts_us, user_id) so both columns' file stats prune.
+        "events_zorder_layout": lambda: _events_zorder_rows(spark, sf_dir),
         # Materialized hourly OHLC bars (queries/timeseries.py): the
         # continuous aggregate q_ohlc_bars serves and
         # q_ohlc_daily_rollup re-aggregates exchange-free.
@@ -156,6 +160,14 @@ def _events_layout_rows(spark: SparkSession, sf_dir: str) -> int:
     )
 
     return spark.read.parquet(events_layout_ckpt(spark, sf_dir)).count()
+
+
+def _events_zorder_rows(spark: SparkSession, sf_dir: str) -> int:
+    from open_rust_timeseries_db_spark.sources.layout import (
+        events_zorder_ckpt,
+    )
+
+    return spark.read.parquet(events_zorder_ckpt(spark, sf_dir)).count()
 
 
 def _ohlc_hourly_rows(spark: SparkSession, sf_dir: str) -> int:

@@ -512,6 +512,46 @@ def q_time_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZBAND_LO, _ZBAND_HI = 40, 79  # symbol band: non-empty at every sf tier
+
+
+@query(
+    "q_zorder_scan",
+    f"""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+    FROM events
+    WHERE epoch_us(ts) >= {_WINDOW_LO_US}
+      AND epoch_us(ts) < {_WINDOW_HI_US}
+      AND user_id BETWEEN {_ZBAND_LO} AND {_ZBAND_HI}
+    """,
+    doc="Symbol-band + time-window scan over the Z-ORDERED chunked "
+    "layout (sources/layout.py write_zorder_layout): files inside each "
+    "day chunk are Morton-ordered over interleaved (ts_us, user_id) "
+    "bits, so per-file min/max stats are selective on BOTH columns and "
+    "the pushed 2-D predicate skips files the ts-sorted layout must "
+    "read (tests/test_layout.py measures the file-stat overlap of both "
+    "layouts for this exact predicate box). Directory pruning on "
+    "chunk_us= is unchanged. This is Delta/Iceberg's OPTIMIZE ZORDER "
+    "re-expressed as plain Spark — the layout for the symbol+window "
+    "shape that dominates tick workloads. Oracle: the same predicate "
+    "on the flat table, so the hash match proves the clustered layout "
+    "lossless.",
+    tags=("timeseries", "layout", "pruning", "zorder"),
+)
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.sources.layout import (
+        events_zorder_ckpt,
+        read_time_range,
+    )
+
+    path = events_zorder_ckpt(spark, sf_dir)
+    return (
+        read_time_range(spark, path, _WINDOW_LO_US, _WINDOW_HI_US)
+        .filter(F.col("user_id").between(_ZBAND_LO, _ZBAND_HI))
+        .select("event_id", "user_id", "ts_us", "value")
+    )
+
+
 # 2024-01-01T00:00:00Z — the generator's month start, shared by every
 # sf tier (TESTDATA.md); day-number arithmetic below derives from it.
 _MONTH_LO_US = 1_704_067_200_000_000

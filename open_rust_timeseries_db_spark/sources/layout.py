@@ -123,6 +123,139 @@ def events_layout_ckpt(
     return path
 
 
+def zorder_key(
+    cols: list, bounds: list[tuple[float, float]], bits: int = 16
+):
+    """Morton (Z-order) key over normalized columns — bit-interleaved.
+
+    Each column is scaled to a ``bits``-bit integer over its [lo, hi]
+    bounds (monotone double arithmetic, same contract as
+    operators/percentiles.selection_bin: consistency and monotonicity
+    are all ordering needs, exact values never flow through the key),
+    then the quantized coordinates interleave bit-by-bit: sorting by
+    the result clusters rows that are close in EVERY dimension, so
+    per-file min/max stats become selective for predicates on any of
+    the columns — Delta/Iceberg's OPTIMIZE ZORDER, as plain Spark
+    expressions. 2 dims x 16 bits = a 32-bit key; whole-stage codegen
+    folds the ~64 shift/mask terms into straight-line JVM code.
+    """
+    from pyspark.sql import functions as F
+
+    quantized = []
+    top = (1 << bits) - 1
+    for c, (lo, hi) in zip(cols, bounds):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            quantized.append(F.lit(0).cast("long"))
+            continue
+        q = F.floor(
+            (c.cast("double") - F.lit(float(lo)))
+            / F.lit(span)
+            * F.lit(float(top))
+        ).cast("long")
+        quantized.append(
+            F.least(F.greatest(q, F.lit(0)), F.lit(top))
+        )
+    ndim = len(quantized)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for d, q in enumerate(quantized):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * ndim + d))
+    return z
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    key_col: str,
+    chunk_us: int = DAY_US,
+    bits: int = 16,
+    n_range_partitions: int | None = None,
+) -> None:
+    """Write ``df`` time-chunked with Z-ORDERED files inside each chunk.
+
+    Same directory scheme as :func:`write_time_layout` (``chunk_us=``
+    partitions, manifest sidecar, interval reads via
+    :func:`read_time_range` unchanged), but files within a chunk are
+    range-split and sorted by the Morton key over (ts_col, key_col)
+    instead of by timestamp alone. Trade: a pure time window prunes
+    slightly less tightly inside a chunk (directory pruning is
+    untouched), while 2-D predicates — the symbol + time-window shape
+    that dominates tick workloads — prune files on BOTH columns
+    (tests/test_layout.py measures the file-stat overlap both ways).
+
+    The column bounds feed the key's quantization; they are computed
+    in one aggregation at write time (this is an ingest-time job) and
+    recorded in the manifest so appends/compaction can reuse the same
+    quantization grid.
+    """
+    from pyspark.sql import functions as F
+
+    lo_ts, hi_ts, lo_k, hi_k = df.agg(
+        F.min(ts_col), F.max(ts_col), F.min(key_col), F.max(key_col)
+    ).first()
+    bounds = [(lo_ts, hi_ts), (lo_k, hi_k)]
+    chunk = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(chunk_us))).cast(
+        "long"
+    )
+    z = zorder_key([F.col(ts_col), F.col(key_col)], bounds, bits)
+    out = df.withColumn(_CHUNK_COL, chunk).withColumn("__z", z)
+    n = n_range_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    (
+        out.repartitionByRange(n, _CHUNK_COL, "__z")
+        .sortWithinPartitions(_CHUNK_COL, "__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .partitionBy(_CHUNK_COL)
+        .parquet(path)
+    )
+    manifest = {
+        "ts_col": ts_col,
+        "chunk_us": chunk_us,
+        "order": {
+            "type": "zorder",
+            "cols": [ts_col, key_col],
+            "bits": bits,
+            "bounds": [[lo_ts, hi_ts], [lo_k, hi_k]],
+        },
+        "version": 2,
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+
+
+def events_zorder_ckpt(
+    spark: SparkSession, sf_dir: str, chunk_us: int = DAY_US
+) -> str:
+    """Path of the session's Z-ORDERED chunked copy of ``events``
+    (interleaved ts_us x user_id) — the layout the symbol+time 2-D
+    scan (q_zorder_scan) reads. Memoized like events_layout_ckpt."""
+    from open_rust_timeseries_db_spark.queries.helpers import events_us
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        chunk_us,
+        "zorder",
+    )
+    path = _LAYOUT_MEMO.get(key)
+    if path is None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        path = os.path.join(base, f"spark-graft-zorder-{uuid.uuid4().hex[:10]}")
+        ev = events_us(spark, sf_dir).select(
+            "event_id", "user_id", "ts_us", "value"
+        )
+        write_zorder_layout(
+            ev, path, ts_col="ts_us", key_col="user_id", chunk_us=chunk_us
+        )
+        _LAYOUT_MEMO[key] = path
+    return path
+
+
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, _MANIFEST)) as f:
         return json.load(f)

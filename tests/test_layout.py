@@ -192,3 +192,113 @@ def test_dpp_join_prunes_at_runtime(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
     assert "PartitionFilters" in plan
+
+
+class TestZorder:
+    """Z-ordered chunks: lossless, and 2-D predicates prune files the
+    ts-sorted layout must read — measured from the parquet footers
+    themselves (file-level min/max overlap with the predicate box),
+    not inferred from plan text."""
+
+    @pytest.fixture(scope="class")
+    def band(self, spark):
+        # ~27%-wide symbol band placed mid-space, derived from the
+        # tier's actual id range (sf0.001 has ~15 users, sf0.01 150).
+        n = events_us(spark, SF_DIR).agg(F.max("user_id")).first()[0]
+        return int(n * 0.27), int(n * 0.53)
+
+    @pytest.fixture(scope="class")
+    def both_layouts(self, spark, tmp_path_factory):
+        from open_rust_timeseries_db_spark.sources.layout import (
+            write_zorder_layout,
+        )
+
+        root = tmp_path_factory.mktemp("zorder")
+        ev = events_us(spark, SF_DIR).select(
+            "event_id", "user_id", "ts_us", "value"
+        )
+        sorted_path = str(root / "ts_sorted")
+        z_path = str(root / "zordered")
+        # Same file budget for both, several files per day chunk so
+        # within-chunk clustering is measurable.
+        write_time_layout(
+            ev, sorted_path, ts_col="ts_us", n_range_partitions=96
+        )
+        write_zorder_layout(
+            ev,
+            z_path,
+            ts_col="ts_us",
+            key_col="user_id",
+            n_range_partitions=96,
+        )
+        return sorted_path, z_path
+
+    def _user_overlap_fraction(self, path: str, band) -> float:
+        import pyarrow.parquet as pq
+
+        lo, hi = band
+        total = hits = 0
+        for chunk_dir in sorted(os.listdir(path)):
+            full = os.path.join(path, chunk_dir)
+            if not chunk_dir.startswith("chunk_us=") or not os.path.isdir(full):
+                continue
+            for fname in os.listdir(full):
+                if not fname.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(full, fname))
+                idx = md.schema_arrow.get_field_index("user_id")
+                fmin = min(
+                    md.metadata.row_group(g).column(idx).statistics.min
+                    for g in range(md.metadata.num_row_groups)
+                )
+                fmax = max(
+                    md.metadata.row_group(g).column(idx).statistics.max
+                    for g in range(md.metadata.num_row_groups)
+                )
+                total += 1
+                if not (fmax < lo or fmin > hi):
+                    hits += 1
+        assert total > 30, f"too few files ({total}) to measure pruning"
+        return hits / total
+
+    def test_zorder_is_lossless(self, spark, both_layouts):
+        _, z_path = both_layouts
+        src = events_us(spark, SF_DIR).select(
+            "event_id", "user_id", "ts_us", "value"
+        )
+        got = read_time_range(spark, z_path)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, src.collect())
+        )
+
+    def test_zorder_manifest_records_clustering(self, both_layouts):
+        _, z_path = both_layouts
+        man = read_manifest(z_path)
+        assert man["order"]["type"] == "zorder"
+        assert man["order"]["cols"] == ["ts_us", "user_id"]
+        assert len(man["order"]["bounds"]) == 2
+
+    def test_zorder_files_prune_the_symbol_band(self, both_layouts, band):
+        sorted_path, z_path = both_layouts
+        f_sorted = self._user_overlap_fraction(sorted_path, band)
+        f_z = self._user_overlap_fraction(z_path, band)
+        # ts-sorted files each span ~the whole symbol space: no file
+        # can be skipped for a symbol predicate. Z-ordered files carry
+        # tight symbol ranges: most files fall outside the band.
+        assert f_sorted > 0.9, f_sorted
+        assert f_z < 0.7, f_z
+        assert f_z < f_sorted
+
+    def test_zorder_scan_touches_fewer_files_at_runtime(
+        self, spark, both_layouts, band
+    ):
+        lo, hi = band
+        sorted_path, z_path = both_layouts
+
+        def touched(path):
+            df = read_time_range(spark, path).filter(
+                F.col("user_id").between(lo, hi)
+            )
+            return len(_touched_files(df))
+
+        assert touched(z_path) < touched(sorted_path)
