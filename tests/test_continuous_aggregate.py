@@ -110,3 +110,27 @@ def test_untouched_bars_pass_through_unaggregated(spark):
     assert changed == [key], changed
     if key in before:
         assert after[key]["n_ticks"] == before[key]["n_ticks"] + 1
+
+
+def test_increment_random_splits_match_full_rebuild(spark):
+    """Randomized split sweep: ANY partition of the ticks into
+    history+batch must merge back to the full rebuild — including
+    splits that cut inside an hour bucket, the case where the merge
+    must re-derive open/close across the boundary via the ord
+    partials."""
+    import random
+
+    rng = random.Random(190816)
+    ev = events_us(spark, SF_DIR).select(
+        "user_id", "ts_us", "value", "event_id"
+    )
+    full_rows = _rows(_full_build(ev))
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    for _ in range(4):
+        cut = rng.randint(lo, hi)
+        history = ev.filter(F.col("ts_us") <= cut)
+        batch = ev.filter(F.col("ts_us") > cut)
+        if batch.isEmpty():
+            continue
+        got = _rows(ohlc_increment(_full_build(history), batch))
+        assert got == full_rows, f"cut={cut}"

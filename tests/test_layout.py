@@ -302,3 +302,49 @@ class TestZorder:
             return len(_touched_files(df))
 
         assert touched(z_path) < touched(sorted_path)
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """The Spark Morton expression must equal a bit-for-bit python
+    reference over the full quantization corner set: bounds endpoints,
+    mid-range values, and values that straddle quantization cells."""
+    from open_rust_timeseries_db_spark.sources.layout import zorder_key
+
+    bits = 8
+    lo_x, hi_x = 100, 1_000_000
+    lo_y, hi_y = -50, 49
+    import itertools
+
+    xs = [100, 101, 499_999, 999_999, 1_000_000]
+    ys = [-50, -1, 0, 7, 49]
+    rows = list(itertools.product(xs, ys))
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x",
+            "y",
+            zorder_key(
+                [F.col("x"), F.col("y")],
+                [(lo_x, hi_x), (lo_y, hi_y)],
+                bits,
+            ).alias("z"),
+        ).collect()
+    }
+
+    top = (1 << bits) - 1
+
+    def quant(v, lo, hi):
+        q = int((float(v) - lo) / (hi - lo) * top)
+        return max(0, min(top, q))
+
+    def morton(qx, qy):
+        z = 0
+        for b in range(bits):
+            z |= ((qx >> b) & 1) << (2 * b)
+            z |= ((qy >> b) & 1) << (2 * b + 1)
+        return z
+
+    for x, y in rows:
+        want = morton(quant(x, lo_x, hi_x), quant(y, lo_y, hi_y))
+        assert got[(x, y)] == want, (x, y, got[(x, y)], want)
