@@ -162,6 +162,126 @@ def asof_join(
     return out
 
 
+def asof_join_same_source(
+    df: DataFrame,
+    on: str,
+    ts: str,
+    left_pred: Column,
+    right_pred: Column,
+    left_cols: list[str],
+    right_values: list[str],
+    tiebreak: str | None = None,
+    how: str = "inner",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join where BOTH sides are row-subsets of ONE DataFrame.
+
+    Result-identical to::
+
+        asof_join(df.filter(left_pred),  df.filter(right_pred), ...)
+
+    but built from a SINGLE scan: the two-sided operator's union step
+    re-reads the source once per side (two parquet scans, two filter
+    pipelines, a union exchange), while the tick-store shape this
+    serves — trades and quotes interleaved in one event stream — can
+    tag each row in the scan projection and go straight to the ordered
+    window. Measured at sf1 (200k/200k rows from a 1M-row events scan,
+    15k keys): 2.6x faster cold, 1.9x warm than the two-scan window
+    path (scripts/asof_probe.py).
+
+    ``left_pred`` / ``right_pred`` must be disjoint; a row matching
+    both is treated as LEFT only (``when`` order), which differs from
+    the two-sided operator (where it would appear on both sides).
+
+    Output: ``on``, ``ts`` (original values), ``left_cols``,
+    ``asof_ts`` (matched right ``ts`` as epoch-long), and
+    ``asof_<c>`` for each of ``right_values``. Null semantics match
+    ``asof_join``: null-``ts`` right rows never match anything,
+    null-``ts`` left rows never find a match, null keys group
+    together.
+
+    Cost at scale: one scan + one hash-partition-by-key + in-partition
+    sort — strictly less work than the two-sided window path at the
+    same input size, with the same no-range-explosion guarantee.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    tag = F.when(left_pred, F.lit(1)).when(right_pred, F.lit(0))
+    is_right = F.col("__tag") == 0
+    # Payload columns: left_cols verbatim plus any right_values not
+    # already carried. Right rows' left_cols (and vice versa) hold that
+    # row's own values, but they are masked out below — right values
+    # only read where __tag == 0, left rows only survive the final
+    # __tag == 1 filter.
+    payload = list(dict.fromkeys([*left_cols, *right_values]))
+    tb_sel = (
+        [F.when(tag == 0, F.col(tiebreak)).cast("long").alias("__tb")]
+        if tiebreak
+        else []
+    )
+    tagged = (
+        df.select(
+            F.col(on).alias("__key"),
+            F.col(ts).alias("__ts_orig"),
+            F.col(ts).cast("long").alias("__ts"),
+            tag.alias("__tag"),
+            *[F.col(c) for c in payload],
+            *tb_sel,
+        )
+        .filter(F.col("__tag").isNotNull())
+        # A right row with a null ts can never be "the most recent row
+        # <= ts" — same pre-filter as asof_join. Left null-ts rows stay
+        # (how="left" keeps them, match masked below).
+        .filter((F.col("__tag") == 1) | F.col("__ts").isNotNull())
+    )
+
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
+    order: list[Column] = [ts_order, F.col("__tag")]
+    if tiebreak is not None:
+        order.append(F.col("__tb").asc_nulls_first())
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Null left_ts never matches (in forward/desc order it would sort
+    # last and pick up the globally-smallest right ts) — mask, exactly
+    # as the two-sided window path does.
+    has_ts = F.col("__ts").isNotNull()
+    out = (
+        tagged.select(
+            "__key",
+            "__ts_orig",
+            "__tag",
+            *left_cols,
+            F.when(
+                has_ts, F.last(F.when(is_right, F.col("__ts")), ignorenulls=True).over(w)
+            ).alias("asof_ts"),
+            *[
+                F.when(
+                    has_ts,
+                    F.last(F.when(is_right, F.col(c)), ignorenulls=True).over(w),
+                ).alias(f"asof_{c}")
+                for c in right_values
+            ],
+        )
+        .filter(F.col("__tag") == 1)
+        .select(
+            F.col("__key").alias(on),
+            F.col("__ts_orig").alias(ts),
+            *left_cols,
+            "asof_ts",
+            *[f"asof_{c}" for c in right_values],
+        )
+    )
+    if how == "inner":
+        out = out.filter(F.col("asof_ts").isNotNull())
+    return out
+
+
 def _broadcast_pays(
     left: DataFrame,
     right: DataFrame,

@@ -137,6 +137,12 @@ def cache_builders(
         # memoized driver-side once per session; two small jobs over
         # cached tables that otherwise land on q_bm25_rank's cold.
         "bm25_scalars": _bm25_scalars_builder(spark, sf_dir),
+        # Conversion projection (queries/helpers.py): the purchase/
+        # click subset key-partitioned + (user_id, ts_us)-sorted — the
+        # clustered secondary projection both as-of queries consume
+        # exchange-free. At a deployment this is an ingest-maintained
+        # materialized view, same story as the layouts below.
+        "conversion_proj": lambda: _conversion_proj_rows(spark, sf_dir),
         # Time-chunked events layout (sources/layout.py): the one-time
         # chunked-copy write q_time_window_scan reads pruned — at a
         # deployment this is the table's ingest-time PRIMARY layout.
@@ -152,6 +158,17 @@ def cache_builders(
         "ohlc_hourly": lambda: _ohlc_hourly_rows(spark, sf_dir),
     }
     return builders
+
+
+def _conversion_proj_rows(spark: SparkSession, sf_dir: str) -> int:
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        cached_count,
+    )
+    from open_rust_timeseries_db_spark.queries.helpers import (
+        conversion_proj_ckpt,
+    )
+
+    return cached_count(conversion_proj_ckpt(spark, sf_dir))
 
 
 def _events_layout_rows(spark: SparkSession, sf_dir: str) -> int:

@@ -14,8 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from open_rust_timeseries_db_spark.operators.asof import asof_join
+from open_rust_timeseries_db_spark.operators.asof import (
+    asof_join,
+    asof_join_same_source,
+)
 from open_rust_timeseries_db_spark.queries.helpers import (
+    conversion_proj_ckpt,
     davg,
     dsum,
     events_us,
@@ -193,19 +197,19 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join", "asof"),
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_us(spark, sf_dir)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts_us"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts_us", "value"
-    )
-    joined = asof_join(
-        purchases,
-        clicks,
+    # Both sides are subsets of ONE events scan — the same-source
+    # operator tags rows in the scan projection instead of scanning
+    # twice and unioning (2.6x faster cold at sf1, scripts/asof_probe.py;
+    # equality vs the two-sided operator is hypothesis-tested). The
+    # input is the session-cached conversion projection (key-partitioned
+    # + sorted), so the window plans exchange-free.
+    joined = asof_join_same_source(
+        conversion_proj_ckpt(spark, sf_dir),
         on="user_id",
-        left_ts="ts_us",
-        right_ts="ts_us",
+        ts="ts_us",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "click",
+        left_cols=["event_id"],
         right_values=["value"],
         how="inner",
     )
@@ -246,19 +250,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join", "asof"),
 )
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_us(spark, sf_dir)
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts_us"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts_us", "value"
-    )
-    joined = asof_join(
-        clicks,
-        purchases,
+    # Same single-scan tagged-union shape as q_asof_join, reversed
+    # direction (operators/asof.py asof_join_same_source), over the
+    # same shared conversion projection.
+    joined = asof_join_same_source(
+        conversion_proj_ckpt(spark, sf_dir),
         on="user_id",
-        left_ts="ts_us",
-        right_ts="ts_us",
+        ts="ts_us",
+        left_pred=F.col("event_type") == "click",
+        right_pred=F.col("event_type") == "purchase",
+        left_cols=["event_id"],
         right_values=["value"],
         how="inner",
         direction="forward",

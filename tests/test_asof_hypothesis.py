@@ -12,7 +12,10 @@ from __future__ import annotations
 
 from hypothesis import given, settings, strategies as st
 
-from open_rust_timeseries_db_spark.operators.asof import asof_join
+from open_rust_timeseries_db_spark.operators.asof import (
+    asof_join,
+    asof_join_same_source,
+)
 
 _key = st.integers(min_value=0, max_value=2)
 _ts = st.integers(min_value=0, max_value=20)
@@ -104,4 +107,45 @@ def test_asof_join_matches_linear_scan(spark, data, direction, how, strategy):
     )
     # The naive reference attaches one match per left ROW; duplicate
     # left rows therefore appear once per occurrence in both.
+    assert got == _naive(left_rows, right_rows, direction, how)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=sides(),
+    direction=st.sampled_from(["backward", "forward"]),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_asof_same_source_matches_linear_scan(spark, data, direction, how):
+    """The single-scan tagged variant (asof_join_same_source) must pick
+    the same matches as the two-sided operator for disjoint row
+    subsets of one DataFrame — including null keys, null timestamps on
+    either side, and keys present on one side only."""
+    from pyspark.sql import functions as F
+
+    left_rows, right_rows = data
+    right_rows = [(k, t, k * 100 + (t if t is not None else 99)) for k, t in right_rows]
+    rows = [(k, t, None, "L") for k, t in left_rows] + [
+        (k, t, px, "R") for k, t, px in right_rows
+    ]
+    df = spark.createDataFrame(
+        rows or [(None, None, None, None)], "k int, ts int, px int, side string"
+    )
+    if not rows:
+        df = df.filter("side IS NOT NULL")
+    out = asof_join_same_source(
+        df,
+        on="k",
+        ts="ts",
+        left_pred=F.col("side") == "L",
+        right_pred=F.col("side") == "R",
+        left_cols=[],
+        right_values=["px"],
+        how=how,
+        direction=direction,
+    )
+    got = sorted(
+        ((r["k"], r["ts"], r["asof_ts"], r["asof_px"]) for r in out.collect()),
+        key=lambda r: (r[0], r[1] is None, r[1] or 0, r[2] is None, r[2] or 0),
+    )
     assert got == _naive(left_rows, right_rows, direction, how)
