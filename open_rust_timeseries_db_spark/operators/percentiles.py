@@ -360,8 +360,13 @@ def nearest_rank_percentiles_by(
     1000-executor cluster).
     """
     del tiebreak  # rank selection provably independent of tie order
-    hist = df.groupBy(key_col, value_col).agg(
-        F.count(F.lit(1)).alias("__c")
+    # Nulls are ignored, matching the global operator's documented
+    # contract (test_nulls_ignored_and_empty_input): unfiltered, null
+    # values sort first, inflate __n, and shift every rank.
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     w = (
         Window.partitionBy(key_col)

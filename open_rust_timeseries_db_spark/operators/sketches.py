@@ -81,11 +81,11 @@ def cms_estimate(
     ``keys`` is the candidate table (tiny: heavy-hitter candidates,
     join-skew suspects); the grid is bounded, so the probe is a
     broadcast-scale join however big the ORIGINAL input was. Keys never
-    seen by the sketch still hit ``depth`` populated-or-empty cells;
-    an empty cell (no grid row) yields no match in row j — the inner
-    join then drops the key entirely, which is correct only for
-    candidates drawn from the sketched input. Keep candidates a subset
-    of the input (they are, for heavy hitters).
+    seen by the sketch hit ``depth`` cells of which at least one is
+    empty (no grid row): the LEFT join + coalesce(c, 0) makes that
+    cell count 0, so unseen candidates honestly estimate 0 and the
+    one-sided upper bound (est_n >= true count) holds for ARBITRARY
+    candidate sets, not just subsets of the sketched input.
     """
     probes = keys.select(
         key_col,
@@ -96,7 +96,7 @@ def cms_estimate(
         ).alias("j", "cell"),
     )
     return (
-        probes.join(cms, ["j", "cell"])
+        probes.join(cms, ["j", "cell"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").alias("est_n"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
     )

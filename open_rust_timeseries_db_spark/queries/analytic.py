@@ -650,7 +650,6 @@ def _approx_pct_binned(lags: DataFrame) -> DataFrame:
     # scan.
     stats = lags.agg(
         F.percentile_approx("__v", _APPROX_PCTS, 10000).alias("qs"),
-        F.count(F.lit(1)).alias("__n0"),
         F.min("__v").alias("__lo"),
         F.max("__v").alias("__hi"),
     )

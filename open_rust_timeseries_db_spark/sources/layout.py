@@ -196,6 +196,15 @@ def write_zorder_layout(
     lo_ts, hi_ts, lo_k, hi_k = df.agg(
         F.min(ts_col), F.max(ts_col), F.min(key_col), F.max(key_col)
     ).first()
+    if lo_ts is None:
+        # Empty input (or all-null ts): no bounds to quantize against.
+        # Fail loudly — an empty layout write is almost always a bug in
+        # the caller's filter, and zorder_key would otherwise crash on
+        # float(None) with a baffling TypeError.
+        raise ValueError(
+            f"write_zorder_layout: input has no non-null {ts_col!r} rows; "
+            "refusing to write an empty layout"
+        )
     bounds = [(lo_ts, hi_ts), (lo_k, hi_k)]
     chunk = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(chunk_us))).cast(
         "long"

@@ -348,3 +348,18 @@ def test_zorder_key_matches_python_morton(spark):
     for x, y in rows:
         want = morton(quant(x, lo_x, hi_x), quant(y, lo_y, hi_y))
         assert got[(x, y)] == want, (x, y, got[(x, y)], want)
+
+
+def test_zorder_write_rejects_empty_input(spark, tmp_path):
+    """An empty (or all-null-ts) input has no bounds to quantize
+    against: the write must fail with a clear ValueError, not a
+    TypeError from float(None) deep in the key builder."""
+    from open_rust_timeseries_db_spark.sources.layout import (
+        write_zorder_layout,
+    )
+
+    empty = spark.createDataFrame([], "ts_us long, user_id long")
+    with pytest.raises(ValueError, match="no non-null"):
+        write_zorder_layout(
+            empty, str(tmp_path / "z"), ts_col="ts_us", key_col="user_id"
+        )

@@ -150,6 +150,24 @@ def test_binned_no_single_task_sort_over_raw_rows(spark):
         )
 
 
+def test_grouped_variant_ignores_null_values(spark):
+    """nearest_rank_percentiles_by must honor the same nulls-ignored
+    contract as the global operator: null values must not inflate the
+    per-key count, shift ranks, or surface as a percentile."""
+    df = spark.createDataFrame(
+        [(0, None), (0, None), (0, 1.0), (0, 2.0), (0, 3.0), (1, None)],
+        "k int, v double",
+    )
+    rows = pct.nearest_rank_percentiles_by(
+        df, "k", "v", [("p50", 0.5)]
+    ).collect()
+    got = {r["k"]: r["p50"] for r in rows}
+    # Key 0: p50 over (1,2,3) = 2.0 — unshifted by the two nulls.
+    # Key 1: all-null -> no non-null histogram rows -> key absent,
+    # never a null percentile.
+    assert got == {0: 2.0}
+
+
 def test_grouped_variant_parallel_by_key(spark):
     df = spark.range(0, 1000).select(
         F.col("id").alias("tie"),

@@ -208,6 +208,29 @@ def test_count_min_one_sided_and_bounded_grid(spark):
     assert est[-1] >= 5_000
 
 
+def test_count_min_unseen_candidate_estimates_zero_or_bound(spark):
+    """A candidate key ABSENT from the sketched input must still get a
+    row (left-join + coalesce, not the old inner join that silently
+    dropped it), and its estimate must stay one-sided: >= 0 == its true
+    count. With a grid wide enough that some cell stays empty, the
+    estimate is exactly 0."""
+    from open_rust_timeseries_db_spark.operators.sketches import (
+        cms_estimate,
+        count_min_cells,
+    )
+
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    depth, width = 4, 4096  # plenty of empty cells for 50 keys
+    cms = count_min_cells(df, "k", depth, width)
+    unseen = spark.range(1_000_000, 1_000_005).select(F.col("id").alias("k"))
+    est = {
+        r["k"]: r["est_n"]
+        for r in cms_estimate(unseen, cms, "k", depth, width).collect()
+    }
+    assert set(est) == {1_000_000 + i for i in range(5)}, "unseen keys dropped"
+    assert all(v == 0 for v in est.values()), est
+
+
 def test_count_min_merges_by_cell_addition(spark):
     """Mergeability — the property that makes the sketch shippable
     across partitions, streams and days: grid(A ++ B) must equal
