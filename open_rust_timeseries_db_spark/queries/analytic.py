@@ -905,10 +905,86 @@ _DAY_US_A = 86_400_000_000
     "that regime (equality property-tested incl. a bot shape); it "
     "costs two extra co-partitioned join stages, measured 10-20x "
     "this query's warm time at the sf0.1/sf1 tiers where no such "
-    "user exists — so the array shape stays the default.",
+    "user exists. The served query AUTO-SELECTS between the two on a "
+    "measured skew verdict: a session-cached count-min sketch over "
+    "events.user_id yields a one-sided upper bound on the hottest "
+    "user's event count (min over hash rows of that row's max cell — "
+    "never an undercount, so a bot can never sneak under the gate); "
+    "below FUNNEL_STATE_BOUND the array shape runs, above it the "
+    "bounded-state twin does.",
     tags=("analytic", "funnel", "sequence"),
 )
-def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_event_funnel(
+    spark: SparkSession, sf_dir: str, state_bound: int = None
+) -> DataFrame:
+    if state_bound is None:
+        state_bound = FUNNEL_STATE_BOUND
+    if max_user_events_bound(spark, sf_dir) > state_bound:
+        return event_funnel_bounded_state(spark, sf_dir)
+    return event_funnel_arrays(spark, sf_dir)
+
+
+# Array-state gate: a user with this many events puts ~2x this many
+# longs (= ~16 MB at 1M) in ONE hash-agg buffer — survivable, but the
+# next order of magnitude is not. The CMS bound is one-sided (only
+# ever OVERcounts), so the gate can only trip early, never late.
+FUNNEL_STATE_BOUND = 1_000_000
+
+
+def _user_cms_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached count-min grid over events.user_id — the skew
+    sketch consulted by q_event_funnel's shape gate (and reusable by
+    any operator needing a hot-key verdict on events). Bounded at
+    depth x width cells regardless of input size; built by one
+    map-side-combined pass (operators/sketches.py)."""
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        _cached_ckpt,
+    )
+    from open_rust_timeseries_db_spark.operators.sketches import (
+        count_min_cells,
+    )
+
+    ev = events_us(spark, sf_dir)
+    return _cached_ckpt(
+        ev,
+        lambda: count_min_cells(ev.select("user_id"), "user_id"),
+        ("events_user_cms",),
+    )
+
+
+def max_user_events_bound(spark: SparkSession, sf_dir: str) -> int:
+    """One-sided upper bound on the hottest user's event count.
+
+    min over hash rows of that row's MAX populated cell: each row's
+    max cell >= the true max key frequency (the hottest key lands in
+    some cell of every row), so the min across rows is still an upper
+    bound — the same argument as the point estimate, applied to the
+    row-wise max. Runs one tiny agg over the bounded cached grid,
+    memoized on the grid object (zero jobs warm)."""
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        cached_row,
+    )
+    from open_rust_timeseries_db_spark.operators.sketches import CMS_DEPTH
+
+    grid = _user_cms_ckpt(spark, sf_dir)
+    # min over rows of max(c) as ONE flat aggregate (cached_row takes
+    # ungrouped aggs): per-row conditional maxes combined with least().
+    # least() skips nulls, so a row with no populated cells (only the
+    # empty-input case) never poisons the bound.
+    row = cached_row(
+        grid,
+        "user_cms_maxbound",
+        F.least(
+            *[
+                F.max(F.when(F.col("j") == j, F.col("c")))
+                for j in range(CMS_DEPTH)
+            ]
+        ),
+    )
+    return 0 if row[0] is None else int(row[0])
+
+
+def event_funnel_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_us(spark, sf_dir).select("user_id", "ts_us", "event_type")
     per_user = ev.groupBy("user_id").agg(
         F.min(

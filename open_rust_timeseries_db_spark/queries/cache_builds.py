@@ -137,6 +137,10 @@ def cache_builders(
         # memoized driver-side once per session; two small jobs over
         # cached tables that otherwise land on q_bm25_rank's cold.
         "bm25_scalars": _bm25_scalars_builder(spark, sf_dir),
+        # Count-min skew sketch over events.user_id (bounded grid):
+        # q_event_funnel's shape gate reads a one-sided hot-user bound
+        # from it; one map-side-combined pass, grid <= depth x width.
+        "events_user_cms": lambda: _user_cms_rows(spark, sf_dir),
         # Conversion projection (queries/helpers.py): the purchase/
         # click subset key-partitioned + (user_id, ts_us)-sorted — the
         # clustered secondary projection both as-of queries consume
@@ -158,6 +162,22 @@ def cache_builders(
         "ohlc_hourly": lambda: _ohlc_hourly_rows(spark, sf_dir),
     }
     return builders
+
+
+def _user_cms_rows(spark: SparkSession, sf_dir: str) -> int:
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        cached_count,
+    )
+    from open_rust_timeseries_db_spark.queries.analytic import (
+        _user_cms_ckpt,
+        max_user_events_bound,
+    )
+
+    n = cached_count(_user_cms_ckpt(spark, sf_dir))
+    # Memoize the gate scalar too: the funnel invocation then runs
+    # zero extra jobs.
+    max_user_events_bound(spark, sf_dir)
+    return n
 
 
 def _conversion_proj_rows(spark: SparkSession, sf_dir: str) -> int:

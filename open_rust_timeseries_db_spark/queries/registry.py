@@ -98,9 +98,15 @@ def query(
             plans: OrderedDict[tuple, DataFrame] = OrderedDict()
 
             @wraps(fn)
-            def prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
-                if not PLAN_MEMO_ENABLED:
-                    return fn(spark, sf_dir)
+            def prepared(
+                spark: SparkSession, sf_dir: str, **kwargs
+            ) -> DataFrame:
+                # Extra kwargs (test-only shape overrides) bypass the
+                # plan cache: the memo key is (app, sf_dir) only, and a
+                # kwarg-built plan must never be served to, or read
+                # from, the default-call cache.
+                if kwargs or not PLAN_MEMO_ENABLED:
+                    return fn(spark, sf_dir, **kwargs)
                 key = (
                     spark.sparkContext.applicationId,
                     _os.path.abspath(sf_dir),

@@ -69,6 +69,37 @@ def _naive(rows):
     return (len(users), n_view, n_click, n_full)
 
 
+def test_gate_selects_bounded_shape_for_hot_user(spark):
+    """The served query's CMS gate: with a state bound below the bot
+    user's event count, q_event_funnel must (a) route to the
+    bounded-state twin — no collect_list anywhere in the executed plan
+    — and (b) return the identical result. With the default bound it
+    keeps the array shape. Also pins the gate's one-sidedness: the
+    sketch bound never undercounts the true hottest user."""
+    from open_rust_timeseries_db_spark.queries.analytic import (
+        max_user_events_bound,
+    )
+
+    rows = [(1, 10_000 + i, "click") for i in range(500)]
+    rows += [(1, 9_000, "view"), (1, 20_000, "purchase")]
+    rows += [(2, 1, "view"), (2, 2, "click"), (2, 3, "purchase")]
+    sf_dir = _write_events(spark, rows)
+    fn = all_queries()["q_event_funnel"].fn
+
+    bound = max_user_events_bound(spark, sf_dir)
+    assert bound >= 502, f"CMS bound {bound} undercounts the 502-event bot"
+
+    gated = fn(spark, sf_dir, state_bound=100)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan, "gate did not route to bounded shape"
+    default = fn(spark, sf_dir)
+    dplan = default._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in dplan, "default should keep the array shape"
+    assert tuple(gated.collect()[0]) == tuple(default.collect()[0]) == (
+        2, 2, 2, 2,
+    )
+
+
 def test_bot_user_shape_agrees(spark):
     """One bot user with a long, funnel-completing history plus edge
     users exercising the strict boundaries (click AT the first view's
