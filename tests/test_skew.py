@@ -86,3 +86,72 @@ def test_replicate_salted_join_rejects_outer(spark):
     for how in ("right", "full", "outer", "right_outer", "full_outer"):
         with pytest.raises(ValueError, match="inner"):
             replicate_salted_join(orders, cust, on=["c_custkey"], how=how)
+
+
+def test_salted_pairs_cms_sizing_matches_exact_and_drops_a_shuffle(
+    spark, monkeypatch
+):
+    """salted_group_pairs with a CMS size grid must produce the exact
+    same pair set as exact-count sizing AND as the unsalted grouped
+    plan — and the per-query plan must contain one fewer shuffle
+    exchange (the sizes groupBy(keys).count() pass the grid replaces;
+    the grid itself is a session artifact behind an in-memory scan)."""
+    import open_rust_timeseries_db_spark.operators.dedupe as dd
+
+    monkeypatch.setattr(dd, "SALT_MIN_SOURCE_ROWS", 0)
+    monkeypatch.setattr(dd, "SALT_BUCKET_MIN_ROWS", 8)
+    monkeypatch.setattr(dd, "SALT_TARGET_ROWS", 4)
+
+    rows = (
+        [(0, i) for i in range(30)]
+        + [(1, 100 + i) for i in range(10)]
+        + [(2, 200 + i) for i in range(3)]
+    )
+    # Multi-partition input: a single-partition local relation lets
+    # Spark collapse partial+final aggregation without an exchange,
+    # which would hide the very shuffle the census below counts.
+    m = spark.createDataFrame(rows, "g int, id long").repartition(4)
+    n = len(rows)
+
+    unsalted = dd.salted_group_pairs(m, ("g",), [], n_member_rows=None)
+    # n_member_rows=None skips the gate but keeps exact sizing; with
+    # the monkeypatched floor, n also engages the machinery.
+    exact = dd.salted_group_pairs(m, ("g",), [], n_member_rows=n)
+    grid = dd.cms_size_grid(m, ("g",)).persist()
+    grid.count()
+    cms = dd.salted_group_pairs(
+        m, ("g",), [], n_member_rows=n, cms_grid=grid
+    )
+
+    def pairs(df):
+        return sorted((r["a"], r["b"]) for r in df.collect())
+
+    want = sorted(
+        (a, b)
+        for ids in (range(30), range(100, 110), range(200, 203))
+        for i, a in enumerate(ids)
+        for b in list(ids)[i + 1:]
+    )
+    assert pairs(unsalted) == pairs(exact) == pairs(cms) == want
+
+    def shuffles(df):
+        # Tree walk, not string count: the plan STRING inlines each
+        # cached relation's build plan (with its exchanges) once per
+        # scan, while in the tree an in-memory scan is a leaf.
+        def count(plan):
+            name = plan.nodeName()
+            if name == "AdaptiveSparkPlan":
+                return count(plan.inputPlan())
+            k = 1 if name == "Exchange" else 0
+            ch = plan.children()
+            for i in range(ch.length()):
+                k += count(ch.apply(i))
+            return k
+
+        return count(df._jdf.queryExecution().executedPlan())
+
+    # The exact path's sizes shuffle appears under BOTH the cold and
+    # hot branch subtrees in the unexecuted plan (AQE reuses it as one
+    # exchange at runtime), so dropping the sizing pass removes two
+    # tree occurrences of that one shuffle.
+    assert shuffles(cms) == shuffles(exact) - 2
