@@ -112,17 +112,38 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("warehouse", "tpch", "join", "topk"),
 )
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Broadcast sides carry ONLY the columns the query reads: the
+    # round-9 shape broadcast the full orders x customer row (every
+    # column of both tables), which made the per-invocation broadcast
+    # build the query's bottleneck — and explains its sf1 warm==cold
+    # anomaly (each pass rebuilds the broadcast, so a second pass buys
+    # nothing). Skinny projections cut the steady per-pass cost ~25%
+    # at sf1 (measured A/B). The broadcast itself stays the right
+    # local-tier plan (shuffle_hash measured 2x worse, merge 3x); at
+    # 100 TB the filtered orders side stops fitting and AQE/stats
+    # would flip this join to SMJ — the hint encodes the tier, the
+    # projection discipline carries to any tier.
     cutoff = F.lit(_Q3_DATE).cast("timestamp")
-    cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
     )
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    dims = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return (
-        li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])),
-            li["l_orderkey"] == orders["o_orderkey"],
-        )
+        li.join(F.broadcast(dims), li["l_orderkey"] == dims["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(_rev_col()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
