@@ -158,6 +158,12 @@ def cache_builders(
         # deployment this is the table's ingest-time PRIMARY layout.
         # The count after the write is parquet-metadata-only.
         "events_time_layout": lambda: _events_layout_rows(spark, sf_dir),
+        # Append-built chunked events copy (sources/layout.py): write +
+        # two appends + chunk-atomic compaction — the ingest lifecycle
+        # q_append_window_scan proves lossless against the flat oracle.
+        "events_append_layout": lambda: _events_append_layout_rows(
+            spark, sf_dir
+        ),
         # Z-ordered chunked events copy (sources/layout.py): the 2-D
         # clustered layout q_zorder_scan reads — files Morton-ordered
         # over (ts_us, user_id) so both columns' file stats prune.
@@ -217,6 +223,16 @@ def _events_layout_rows(spark: SparkSession, sf_dir: str) -> int:
     )
 
     return spark.read.parquet(events_layout_ckpt(spark, sf_dir)).count()
+
+
+def _events_append_layout_rows(spark: SparkSession, sf_dir: str) -> int:
+    from open_rust_timeseries_db_spark.sources.layout import (
+        events_append_layout_ckpt,
+    )
+
+    return spark.read.parquet(
+        events_append_layout_ckpt(spark, sf_dir)
+    ).count()
 
 
 def _events_zorder_rows(spark: SparkSession, sf_dir: str) -> int:

@@ -512,6 +512,44 @@ def q_time_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A different mid-span day (2024-01-15) for the append-built layout's
+# window, so the two layout queries don't share an answer.
+_APPEND_LO_US = _WINDOW_LO_US + 7 * _DAY_US
+_APPEND_HI_US = _APPEND_LO_US + _DAY_US
+
+
+@query(
+    "q_append_window_scan",
+    f"""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+    FROM events
+    WHERE epoch_us(ts) >= {_APPEND_LO_US}
+      AND epoch_us(ts) < {_APPEND_HI_US}
+    """,
+    doc="Time-window scan over a layout built by the INGEST LIFECYCLE "
+    "— an initial write plus two appends (each landing files into "
+    "existing chunk directories) folded back by chunk-atomic "
+    "compaction (sources/layout.py append_time_layout + "
+    "compact_chunks) — not a one-shot write. The oracle scans the "
+    "flat table over the same interval: identical rows prove the "
+    "whole append+compact cycle lossless, the property a streaming "
+    "tick archive depends on every day. Same two pruning tiers as "
+    "q_time_window_scan (manifest-derived directory pruning + pushed "
+    "ts row filter over re-sorted files).",
+    tags=("timeseries", "layout", "ingest"),
+)
+def q_append_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.sources.layout import (
+        events_append_layout_ckpt,
+        read_time_range,
+    )
+
+    path = events_append_layout_ckpt(spark, sf_dir)
+    return read_time_range(spark, path, _APPEND_LO_US, _APPEND_HI_US).select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+
+
 # Symbol band: non-empty at sf0.01 and above (sf0.01 has 1.5k user
 # ids, sf0.1/sf1 have 15k). At sf0.001 there are only ~15 ids, so the
 # band — and the oracle — both return zero rows and the parity check

@@ -265,9 +265,169 @@ def events_zorder_ckpt(
     return path
 
 
+def events_append_layout_ckpt(
+    spark: SparkSession, sf_dir: str, chunk_us: int = DAY_US
+) -> str:
+    """Path of a chunked events copy built by APPENDS + COMPACTION —
+    the ingest lifecycle, not a one-shot write.
+
+    Three interleaved slices (event_id mod 3, so every append lands
+    files into EXISTING chunk directories — the stressing case) go in
+    as write + two appends, then :func:`compact_chunks` folds each
+    chunk's accumulated files back into sorted target-size files. The
+    oracle-checked q_append_window_scan reads this layout, proving the
+    whole cycle lossless. Memoized like events_layout_ckpt.
+    """
+    from open_rust_timeseries_db_spark.queries.helpers import events_us
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        chunk_us,
+        "append",
+    )
+    path = _LAYOUT_MEMO.get(key)
+    if path is None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        path = os.path.join(
+            base, f"spark-graft-append-{uuid.uuid4().hex[:10]}"
+        )
+        ev = events_us(spark, sf_dir).select(
+            "event_id", "user_id", "ts_us", "value"
+        )
+        write_time_layout(
+            ev.filter(F.col("event_id") % 3 == 0),
+            path,
+            ts_col="ts_us",
+            chunk_us=chunk_us,
+        )
+        for r in (1, 2):
+            append_time_layout(ev.filter(F.col("event_id") % 3 == r), path)
+        compact_chunks(path=path, spark=spark, target_file_bytes=8 << 20)
+        _LAYOUT_MEMO[key] = path
+    return path
+
+
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, _MANIFEST)) as f:
         return json.load(f)
+
+
+def append_time_layout(
+    df: DataFrame,
+    path: str,
+    n_range_partitions: int | None = None,
+    ingest_id: int | None = None,
+) -> None:
+    """Append rows into an EXISTING layout, reusing its manifest.
+
+    The write derives everything from the manifest the original write
+    recorded: the chunk width and timestamp column always, and — for
+    Z-ordered layouts — the quantization bounds, so appended files sort
+    on the SAME Morton grid as the originals (rows outside the original
+    bounds clamp to the grid edge: still monotone, still prunable,
+    exactly the contract zorder_key documents). New chunk directories
+    appear as needed; existing chunks gain files, which is what
+    :func:`compact_chunks` exists to fold back in.
+
+    ``ingest_id`` (streaming): when given, the batch stages to a
+    scratch directory and its files MOVE into the chunk directories
+    under deterministic ``ingest-<id>-*.parquet`` names, after first
+    deleting any files of that prefix — a micro-batch REPLAYED after a
+    crash (same batch id) replaces its own (possibly partial) prior
+    output instead of appending a second copy, the same
+    exactly-once-per-batch-id contract as
+    streaming/run.write_batch_idempotent. Spark's partition discovery
+    requires every data file at the same leaf depth, so the batch id
+    lives in FILE NAMES, not a partition level; the rename-based
+    commit is the local-FS stand-in for a table format's snapshot
+    (same seam as compact_chunks' atomic swap). Batch appends
+    (``None``) write plain files straight into the chunk directories.
+    """
+    man = read_manifest(path)
+    ts_col, chunk_us = man["ts_col"], man["chunk_us"]
+    chunk = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(chunk_us))).cast(
+        "long"
+    )
+    order = man.get("order")
+    out = df.withColumn(_CHUNK_COL, chunk)
+    n = n_range_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    if order and order.get("type") == "zorder":
+        cols = [F.col(c) for c in order["cols"]]
+        bounds = [tuple(b) for b in order["bounds"]]
+        out = out.withColumn(
+            "__z", zorder_key(cols, bounds, order["bits"])
+        )
+        sort_cols = [_CHUNK_COL, "__z"]
+    else:
+        sort_cols = [_CHUNK_COL, ts_col]
+    out = out.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    )
+    if "__z" in out.columns:
+        out = out.drop("__z")
+    if ingest_id is None:
+        out.write.mode("append").partitionBy(_CHUNK_COL).parquet(path)
+        return
+    prefix = f"ingest-{int(ingest_id)}-"
+    # Replay cleanup: remove every file this batch id wrote before
+    # (possibly partial — the crash could have landed some chunks).
+    for entry in os.listdir(path):
+        if not entry.startswith(f"{_CHUNK_COL}="):
+            continue
+        full = os.path.join(path, entry)
+        for fname in os.listdir(full):
+            if fname.startswith(prefix):
+                os.remove(os.path.join(full, fname))
+    scratch = os.path.join(path, f".ingest-{uuid.uuid4().hex[:8]}")
+    out.write.mode("overwrite").partitionBy(_CHUNK_COL).parquet(scratch)
+    try:
+        for entry in os.listdir(scratch):
+            if not entry.startswith(f"{_CHUNK_COL}="):
+                continue
+            src_dir = os.path.join(scratch, entry)
+            dst_dir = os.path.join(path, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            for seq, fname in enumerate(sorted(os.listdir(src_dir))):
+                if not fname.endswith(".parquet") or fname.startswith(
+                    (".", "_")
+                ):
+                    continue
+                os.rename(
+                    os.path.join(src_dir, fname),
+                    os.path.join(dst_dir, f"{prefix}{seq}.parquet"),
+                )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def stream_into_time_layout(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    n_range_partitions: int | None = None,
+):
+    """Streaming ingest into a chunked layout: each micro-batch appends
+    via :func:`append_time_layout` keyed on its batch id (replay-safe),
+    landing time-chunked and grid-sorted from the first file. The
+    compaction cycle (:func:`compact_chunks`) folds the per-trigger
+    small files into target-size sorted files chunk-atomically — the
+    ingest composition a tick archive actually runs. Returns the
+    started StreamingQuery.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_time_layout(
+            batch_df, path, n_range_partitions, ingest_id=batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
 
 
 def read_time_range(
@@ -322,13 +482,13 @@ def chunk_file_stats(path: str) -> dict[str, dict]:
             continue
         full = os.path.join(path, entry)
         files = [
-            f
+            os.path.join(full, f)
             for f in os.listdir(full)
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         ]
         stats[entry] = {
             "n_files": len(files),
-            "bytes": sum(os.path.getsize(os.path.join(full, f)) for f in files),
+            "bytes": sum(os.path.getsize(f) for f in files),
         }
     return stats
 
@@ -357,6 +517,7 @@ def compact_chunks(
     """
     man = read_manifest(path)
     ts_col = man["ts_col"]
+    order = man.get("order")
     done: dict[str, tuple[int, int]] = {}
     for entry, st in chunk_file_stats(path).items():
         if st["n_files"] < min_files_to_compact:
@@ -366,13 +527,27 @@ def compact_chunks(
         full = os.path.join(path, entry)
         n_out = max(1, math.ceil(st["bytes"] / target_file_bytes))
         scratch = os.path.join(path, f".compact-{uuid.uuid4().hex[:8]}")
-        (
-            spark.read.parquet(full)
-            .repartitionByRange(n_out, ts_col)
-            .sortWithinPartitions(ts_col)
-            .write.mode("overwrite")
-            .parquet(scratch)
-        )
+        chunk_df = spark.read.parquet(full)
+        if order and order.get("type") == "zorder":
+            # Restore the manifest's Morton clustering, not plain ts
+            # order — compaction must preserve the layout's 2-D
+            # pruning contract, reusing the recorded grid.
+            zk = zorder_key(
+                [F.col(c) for c in order["cols"]],
+                [tuple(b) for b in order["bounds"]],
+                order["bits"],
+            )
+            sorted_df = (
+                chunk_df.withColumn("__z", zk)
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            sorted_df = chunk_df.repartitionByRange(
+                n_out, ts_col
+            ).sortWithinPartitions(ts_col)
+        sorted_df.write.mode("overwrite").parquet(scratch)
         # Drop the batch writer's _SUCCESS marker so the swapped-in
         # directory holds only data files like the original chunk.
         marker = os.path.join(scratch, "_SUCCESS")

@@ -363,3 +363,143 @@ def test_zorder_write_rejects_empty_input(spark, tmp_path):
         write_zorder_layout(
             empty, str(tmp_path / "z"), ts_col="ts_us", key_col="user_id"
         )
+
+
+class TestAppendAndStreamingIngest:
+    """The ingest lifecycle: appends reuse the manifest (and Z-grid),
+    streamed micro-batches are replay-idempotent, and compaction folds
+    the accumulated files without losing a row or the clustering."""
+
+    def test_batch_appends_then_compaction_lossless(self, spark, tmp_path):
+        from open_rust_timeseries_db_spark.sources.layout import (
+            append_time_layout,
+            chunk_file_stats,
+            compact_chunks,
+            read_manifest,
+            read_time_range,
+            write_time_layout,
+        )
+
+        ev = events_us(spark, SF_DIR).select(
+            "event_id", "user_id", "ts_us", "value"
+        )
+        path = str(tmp_path / "appended")
+        write_time_layout(
+            ev.filter(F.col("event_id") % 3 == 0), path, ts_col="ts_us"
+        )
+        man_before = read_manifest(path)
+        for r in (1, 2):
+            append_time_layout(ev.filter(F.col("event_id") % 3 == r), path)
+        assert read_manifest(path) == man_before, "append mutated manifest"
+
+        def full_read():
+            return {
+                tuple(r)
+                for r in read_time_range(spark, path).select(
+                    "event_id", "user_id", "ts_us", "value"
+                ).collect()
+            }
+
+        want = {tuple(r) for r in ev.collect()}
+        assert full_read() == want
+        pre = chunk_file_stats(path)
+        done = compact_chunks(spark, path, target_file_bytes=8 << 20)
+        assert done, f"nothing compacted over {pre}"
+        assert full_read() == want, "compaction lost or duplicated rows"
+
+    def test_zorder_append_reuses_grid_and_compaction_preserves_it(
+        self, spark, tmp_path
+    ):
+        from open_rust_timeseries_db_spark.sources.layout import (
+            append_time_layout,
+            compact_chunks,
+            read_manifest,
+            read_time_range,
+            write_zorder_layout,
+        )
+
+        ev = events_us(spark, SF_DIR).select(
+            "event_id", "user_id", "ts_us", "value"
+        )
+        path = str(tmp_path / "zappend")
+        write_zorder_layout(
+            ev.filter(F.col("event_id") % 2 == 0),
+            path,
+            ts_col="ts_us",
+            key_col="user_id",
+        )
+        man = read_manifest(path)
+        # The append slice includes rows OUTSIDE the original bounds
+        # only if the halves' extremes differ — either way the write
+        # must succeed by clamping to the recorded grid, not recompute
+        # bounds.
+        append_time_layout(ev.filter(F.col("event_id") % 2 == 1), path)
+        assert read_manifest(path) == man, "append mutated z-order manifest"
+        compact_chunks(spark, path, target_file_bytes=8 << 20)
+        assert read_manifest(path) == man
+        got = {
+            tuple(r)
+            for r in read_time_range(spark, path).select(
+                "event_id", "user_id", "ts_us", "value"
+            ).collect()
+        }
+        assert got == {tuple(r) for r in ev.collect()}
+
+    def test_streaming_ingest_replay_idempotent_and_compactable(
+        self, spark, tmp_path
+    ):
+        from open_rust_timeseries_db_spark.sources.layout import (
+            append_time_layout,
+            chunk_file_stats,
+            compact_chunks,
+            read_time_range,
+            stream_into_time_layout,
+            write_time_layout,
+        )
+
+        ev = events_us(spark, SF_DIR).select(
+            "event_id", "user_id", "ts_us", "value"
+        )
+        # Seed the layout (manifest) with a first slice; stream the rest
+        # from a 3-file directory, one file per micro-batch.
+        path = str(tmp_path / "streamed")
+        seed = ev.filter(F.col("event_id") % 4 == 0)
+        rest = ev.filter(F.col("event_id") % 4 != 0)
+        write_time_layout(seed, path, ts_col="ts_us")
+        src_dir = str(tmp_path / "src")
+        rest.repartition(3).write.parquet(src_dir)
+        stream = (
+            spark.readStream.schema(rest.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = stream_into_time_layout(
+            stream, path, str(tmp_path / "ckpt"), n_range_partitions=2
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        def full_read():
+            return {
+                tuple(r)
+                for r in read_time_range(spark, path).select(
+                    "event_id", "user_id", "ts_us", "value"
+                ).collect()
+            }
+
+        want = {tuple(r) for r in ev.collect()}
+        assert full_read() == want
+
+        # Replay a batch id that already committed: dynamic partition
+        # overwrite must replace its own output, not append a copy.
+        replay = rest.limit(50)
+        append_time_layout(replay, path, ingest_id=0)
+        append_time_layout(replay, path, ingest_id=0)
+        n_after_replay = read_time_range(spark, path).count()
+
+        # Compaction folds the per-trigger files (and the ingest
+        # partition level) away; reads stay correct.
+        compact_chunks(spark, path, target_file_bytes=8 << 20)
+        st = chunk_file_stats(path)
+        assert all("/" not in next(iter(st)) for _ in [0])
+        assert read_time_range(spark, path).count() == n_after_replay
