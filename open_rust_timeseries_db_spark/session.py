@@ -88,7 +88,45 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Single-JVM local mode: the driver heap IS the executor heap.
+        # 24g pre-sized (-Xms == -Xmx) on this 128 GB / 32-core box:
+        # the 8g default turned the heavy pair shuffles into a GC
+        # lottery (q_ngram_jaccard at sf1 swung 23-49 s warm between
+        # passes; at a right-sized heap it runs 9.5 s steady), and
+        # growing the heap lazily charged first-touch queries for the
+        # expansion. On a cluster this is plain executor sizing.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        )
+        # -Xms == -Xmx + AlwaysPreTouch: commit AND fault the heap at
+        # JVM start (~3 s once) — without the pre-touch the first big
+        # query pays ~35 s of first-touch page zeroing spread over its
+        # hot loops (measured: q_ngram_jaccard pass 1 ran 73 s vs 16 s
+        # warm with identical job/task counts).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                "-Xms"
+                + os.environ.get("SPARK_DRIVER_MEMORY", "24g")
+                + " -XX:+AlwaysPreTouch",
+            ),
+        )
+        # Shuffle/spill scratch on tmpfs when the host has one: the
+        # bench box's /tmp is virtio disk whose I/O latency swings
+        # ~2x between passes (measured on the sf1 pair shuffles);
+        # session scratch is ephemeral by definition, same policy as
+        # the layout ckpts and streaming checkpoints.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-graft-local"
+                if os.path.isdir("/dev/shm")
+                else "/tmp",
+            ),
+        )
         # Catalog tables (bucketed warehouse, sources/warehouse.py) go
         # to a scratch dir, never the repo working directory.
         .config(

@@ -244,6 +244,10 @@ def test_hot_bucket_skew_paths_agree(spark, monkeypatch):
     monkeypatch.setattr(dd, "SALT_MIN_SOURCE_ROWS", 0)
     monkeypatch.setattr(dd, "SALT_BUCKET_MIN_ROWS", 8)
     monkeypatch.setattr(dd, "SALT_TARGET_ROWS", 4)
+    # Also lower the CMS-sizing bar so the end-to-end sweep exercises
+    # the grid-probed sizing path (its production bar sits beyond any
+    # test tier by design).
+    monkeypatch.setattr(dd, "SALT_CMS_MIN_MEMBER_ROWS", 0)
     salted = run_all()
     for k in broadcast:
         assert broadcast[k] == salted[k], (
