@@ -89,6 +89,22 @@ def warmup_session(spark, sf_dir: str) -> None:
         .agg(F.sum("rn").alias("x"))
         .orderBy("x")
     ).write.format("noop").mode("overwrite").save()
+    # Running last(ignorenulls) frames, both sort directions — the
+    # as-of window class (conditional carry-forward over a growing
+    # frame), which none of the shapes above compile. Generic range
+    # data, never a registered query's plan.
+    _wl = _W.partitionBy("k").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    (
+        _base.select(
+            "k",
+            F.last(
+                F.when(F.col("id") % 2 == 0, F.col("id")), ignorenulls=True
+            ).over(_wl.orderBy("id")).alias("b"),
+            F.last(
+                F.when(F.col("id") % 3 == 0, F.col("id")), ignorenulls=True
+            ).over(_wl.orderBy(F.col("id").desc())).alias("f"),
+        )
+    ).write.format("noop").mode("overwrite").save()
     # ...the heavy expression families on synthetic rows — fixed-point
     # floor() aggregation (every monetary rollup), the regexp/string
     # kernel shapes (quality/scrub census), moments (var/corr), md5/conv
