@@ -493,6 +493,32 @@ def chunk_file_stats(path: str) -> dict[str, dict]:
     return stats
 
 
+def drop_chunks_before(path: str, cutoff_us: int) -> list[str]:
+    """Retention: delete every chunk strictly OLDER than ``cutoff_us``.
+
+    A chunk directory covers [chunk, chunk + chunk_us); it is dropped
+    only when that whole interval precedes the cutoff — rows at or
+    past the cutoff are never touched, so retention is always
+    conservative (a partially-expired chunk survives until its last
+    row ages out). This is the hypertable `drop_chunks` pattern: data
+    expiry as O(#chunks) directory deletes, never a rewrite — the only
+    affordable way to expire data from a 100 TB archive. The manifest
+    is untouched (layout geometry survives an empty table). Returns
+    the chunk dirs removed.
+    """
+    man = read_manifest(path)
+    chunk_us = man["chunk_us"]
+    dropped: list[str] = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(f"{_CHUNK_COL}="):
+            continue
+        chunk_lo = int(entry.split("=", 1)[1])
+        if chunk_lo + chunk_us <= cutoff_us:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(entry)
+    return dropped
+
+
 def compact_chunks(
     spark: SparkSession,
     path: str,

@@ -80,6 +80,14 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
     )
+    # Session stays vanilla for the sf0.01 contract; the sf1 sweep's
+    # toPandas collections (50k-row result sets) overflow the 1g
+    # default driver heap, so an EXPLICIT memory env is honored — the
+    # real driver's session is not heap-starved either.
+    if os.environ.get("SPARK_DRIVER_MEMORY"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ["SPARK_DRIVER_MEMORY"]
+        )
     if ansi:
         builder = builder.config("spark.sql.ansi.enabled", "true")
     spark = builder.getOrCreate()
@@ -96,8 +104,21 @@ def main() -> int:
     assert len(rows) > 0
 
     qs, oracles = contract.queries(), contract.oracle_sql()
+    # SPARK_GRAFT_SKIP: comma-separated names whose ORACLE is
+    # intractable at the given tier (q_dedup_clusters' recursive-CTE
+    # oracle runs >45 min at sf1 — its parity is proven against the
+    # precomputed union-find oracle in tests instead). Skips are
+    # printed loudly; never set for the sf0.01 driver tier.
+    skip = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",")
+        if s.strip()
+    }
     n_pass = n_fail = 0
     for name, fn in sorted(qs.items()):
+        if name in skip:
+            print(f"[SKIP] {name}: oracle intractable at this tier")
+            continue
         t0 = time.time()
         try:
             got = fn(spark, SF_DIR).toPandas()

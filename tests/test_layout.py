@@ -503,3 +503,89 @@ class TestAppendAndStreamingIngest:
         st = chunk_file_stats(path)
         assert all("/" not in next(iter(st)) for _ in [0])
         assert read_time_range(spark, path).count() == n_after_replay
+
+
+def test_retention_drops_only_fully_expired_chunks(spark, tmp_path):
+    """drop_chunks_before is conservative: a chunk is deleted only when
+    its WHOLE interval precedes the cutoff; reads after retention see
+    exactly the surviving rows and the manifest stays intact."""
+    from open_rust_timeseries_db_spark.sources.layout import (
+        drop_chunks_before,
+        read_manifest,
+        read_time_range,
+        write_time_layout,
+    )
+
+    ev = events_us(spark, SF_DIR).select("event_id", "ts_us")
+    path = str(tmp_path / "ret")
+    write_time_layout(ev, path, ts_col="ts_us")
+    man = read_manifest(path)
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    # Cutoff mid-span, deliberately NOT on a chunk boundary.
+    cutoff = (lo + hi) // 2 + man["chunk_us"] // 3
+    dropped = drop_chunks_before(path, cutoff)
+    assert dropped, "expected at least one fully-expired chunk"
+    got = {tuple(r) for r in read_time_range(spark, path).collect()}
+    # Conservative: every row >= cutoff MUST survive; rows below the
+    # cutoff survive iff their chunk straddles it.
+    chunk_us = man["chunk_us"]
+    boundary = (cutoff // chunk_us) * chunk_us
+    want = {
+        tuple(r)
+        for r in ev.filter(F.col("ts_us") >= boundary).collect()
+    }
+    assert got == want
+    assert read_manifest(path) == man
+
+
+def test_streaming_ingest_feeds_incremental_aggregate(spark, tmp_path):
+    """The full ingest composition: micro-batches append into the
+    chunked layout AND incrementally refresh the OHLC continuous
+    aggregate in the same foreachBatch commit; the final bars must
+    equal a full rebuild over everything the layout now holds."""
+    from open_rust_timeseries_db_spark.queries.timeseries import (
+        ohlc_increment,
+    )
+    from open_rust_timeseries_db_spark.sources.layout import (
+        append_time_layout,
+        read_time_range,
+        write_time_layout,
+    )
+    from tests.test_continuous_aggregate import _full_build, _rows
+
+    ev = events_us(spark, SF_DIR).select(
+        "user_id", "ts_us", "value", "event_id"
+    )
+    path = str(tmp_path / "ca")
+    seed = ev.filter(F.col("event_id") % 4 == 0)
+    rest = ev.filter(F.col("event_id") % 4 != 0)
+    write_time_layout(seed, path, ts_col="ts_us")
+    bars = [_full_build(seed).persist()]
+    bars[0].count()
+
+    src_dir = str(tmp_path / "src")
+    rest.repartition(3).write.parquet(src_dir)
+
+    def ingest(batch_df, batch_id):
+        append_time_layout(batch_df, path, ingest_id=batch_id)
+        nxt = ohlc_increment(bars[0], batch_df).persist()
+        nxt.count()  # materialize within the batch scope
+        bars[0] = nxt
+
+    q = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rebuilt = _full_build(
+        read_time_range(spark, path).select(
+            "user_id", "ts_us", "value", "event_id"
+        )
+    )
+    assert _rows(bars[0]) == _rows(rebuilt)
