@@ -319,6 +319,117 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_gapfill_interp",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // {_HOUR_US} AS bucket_hour, value
+      FROM events
+    ), hourly AS (
+      SELECT user_id, bucket_hour, {sql_davg("value")} AS avg_value
+      FROM e GROUP BY 1, 2
+    ), bounds AS (
+      SELECT MIN(bucket_hour) AS lo, MAX(bucket_hour) AS hi FROM e
+    ), spine AS (
+      SELECT u.user_id, unnest(range(b.lo, b.hi + 1)) AS bucket_hour
+      FROM (SELECT DISTINCT user_id FROM e) u CROSS JOIN bounds b
+    ), filled AS (
+      SELECT s.user_id, s.bucket_hour, h.avg_value
+      FROM spine s LEFT JOIN hourly h USING (user_id, bucket_hour)
+    ), marked AS (
+      SELECT user_id, bucket_hour, avg_value,
+             last_value(avg_value IGNORE NULLS) OVER wprev AS prev_v,
+             last_value(CASE WHEN avg_value IS NOT NULL THEN bucket_hour END
+                        IGNORE NULLS) OVER wprev AS prev_b,
+             first_value(avg_value IGNORE NULLS) OVER wnext AS next_v,
+             first_value(CASE WHEN avg_value IS NOT NULL THEN bucket_hour END
+                         IGNORE NULLS) OVER wnext AS next_b
+      FROM filled
+      WINDOW wprev AS (PARTITION BY user_id ORDER BY bucket_hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wnext AS (PARTITION BY user_id ORDER BY bucket_hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket_hour,
+           bucket_hour * {_HOUR_US} AS bucket_start_us,
+           avg_value,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+                ELSE prev_v + (next_v - prev_v) *
+                     (CAST(bucket_hour - prev_b AS DOUBLE)
+                      / CAST(next_b - prev_b AS DOUBLE))
+           END AS interp_value,
+           CAST(CASE WHEN avg_value IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM marked
+    """,
+    doc="Gap-filled hourly series with LINEAR INTERPOLATION — "
+    "time_bucket_gapfill + interpolate(), the LOCF query's twin for "
+    "continuous signals. Same dense spine + one-raw-pass hourly "
+    "aggregate; the fill reads the nearest observed value on each "
+    "side via two ignorenulls window passes over the SAME partition "
+    "ordering (one sort, both frames) and lerps by bucket distance. "
+    "Edges stay NULL (no extrapolation beyond a symbol's first/last "
+    "observation). Deterministic cross-engine: both engines evaluate "
+    "the identical double expression on identical fixed-point hourly "
+    "averages.",
+    tags=("timeseries", "gapfill", "interpolate", "window"),
+)
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_us div {_HOUR_US}").alias("bucket_hour"), "value"
+    )
+    hourly = (
+        ev.groupBy("user_id", "bucket_hour")
+        .agg(davg("value").alias("avg_value"))
+        .localCheckpoint(eager=False)
+    )
+    per_user = hourly.groupBy("user_id").agg(
+        F.min("bucket_hour").alias("u_lo"), F.max("bucket_hour").alias("u_hi")
+    )
+    bounds = per_user.agg(
+        F.min("u_lo").alias("lo"), F.max("u_hi").alias("hi")
+    )
+    spine = per_user.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi")).alias("bucket_hour"),
+    )
+    filled = spine.join(hourly, ["user_id", "bucket_hour"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("avg_value").isNotNull(), F.col("bucket_hour"))
+    prev_v = F.last("avg_value", ignorenulls=True).over(w_prev)
+    prev_b = F.last(obs_bucket, ignorenulls=True).over(w_prev)
+    next_v = F.first("avg_value", ignorenulls=True).over(w_next)
+    next_b = F.first(obs_bucket, ignorenulls=True).over(w_next)
+    frac = (F.col("bucket_hour") - prev_b).cast("double") / (
+        next_b - prev_b
+    ).cast("double")
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(prev_v.isNull() | next_v.isNull(), F.lit(None))
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return filled.select(
+        "user_id",
+        "bucket_hour",
+        (F.col("bucket_hour") * _HOUR_US).alias("bucket_start_us"),
+        "avg_value",
+        interp.alias("interp_value"),
+        F.when(F.col("avg_value").isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_gap"),
+    )
+
+
+@query(
     "q_time_weighted_avg",
     f"""
     WITH e AS (

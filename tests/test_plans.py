@@ -433,6 +433,7 @@ def test_no_cartesian_products_and_bnlj_allowlisted(spark, qs):
     range join (theta predicate, broadcast build side)."""
     allow_bnlj = {
         "q_gapfill_locf": "one-row spine-bounds attach",
+        "q_gapfill_interp": "one-row spine-bounds attach (locf's twin)",
         "q_heavy_hitters": "one-row sketch-total attach",
         "q_range_join": "theta join, broadcast build side by design",
         "q_set_ops": "one-row count attach",
