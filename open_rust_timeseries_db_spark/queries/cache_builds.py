@@ -195,11 +195,16 @@ def _user_cms_rows(spark: SparkSession, sf_dir: str) -> int:
         cached_count,
     )
     from open_rust_timeseries_db_spark.queries.analytic import (
+        _hh_cms_ckpt,
         _user_cms_ckpt,
         max_user_events_bound,
     )
 
     n = cached_count(_user_cms_ckpt(spark, sf_dir))
+    # The parity-width grid q_heavy_hitters probes: a cache HIT (same
+    # key) wherever the funnel gate's scaled width resolves to
+    # CMS_WIDTH, a second bounded build where it doesn't.
+    cached_count(_hh_cms_ckpt(spark, sf_dir))
     # Memoize the gate scalar too: the funnel invocation then runs
     # zero extra jobs.
     max_user_events_bound(spark, sf_dir)

@@ -240,7 +240,11 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that merge across micro-batches — the LIVE half of q_ohlc_bars' "
     "batch downsample; the batch oracle over the same files must match "
     "the drained stream bit-for-bit (open/close ride the same total "
-    "BIGINT ordering key, volume the same fixed-point fold).",
+    "BIGINT ordering key, volume the same fixed-point fold). Declared "
+    "engine property (BASELINE.md 'Adjudicated engine properties'): "
+    "an exactly-once stateful drain prices >=3x its batch-SQL oracle "
+    "— decomposition and the full no-win lever ledger are committed; "
+    "q_ohlc_bars is the under-gate batch path for static data.",
     tags=("streaming", "ohlc", "window"),
 )
 def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,7 +308,11 @@ _SESS_GAP_US = 300_000_000  # 5-minute session gap (matches q_session_window)
     "lag/cumsum-islands oracle. Session state MERGES across rows "
     "(intervals coalesce as events arrive), the hardest state shape "
     "the engine runs; exactly-once drain means stream and batch must "
-    "agree bit-for-bit.",
+    "agree bit-for-bit. Declared engine property (BASELINE.md "
+    "'Adjudicated engine properties'): an exactly-once stateful drain "
+    "prices >=3x its batch-SQL oracle — decomposition and the full "
+    "no-win lever ledger are committed; q_session_window is the "
+    "under-gate batch path for static data.",
     tags=("streaming", "window", "session"),
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -365,8 +365,14 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time_bucket_gapfill + interpolate(), the LOCF query's twin for "
     "continuous signals. Same dense spine + one-raw-pass hourly "
     "aggregate; the fill reads the nearest observed value on each "
-    "side via two ignorenulls window passes over the SAME partition "
-    "ordering (one sort, both frames) and lerps by bucket distance. "
+    "side via ignorenulls LAST over two GROWING frames (ascending "
+    "for prev, DESCENDING for next) and lerps by bucket distance. "
+    "Spark evaluates a growing (unboundedPreceding, current) frame "
+    "in O(n) running state per partition, but a shrinking (current, "
+    "unboundedFollowing) frame by re-aggregating the partition "
+    "remainder per row — O(n^2); the descending sort buys linearity "
+    "for the price of one extra sort of the spine (measured 46.2 s "
+    "-> ~1.3 s at sf0.1, 438.8 s -> seconds at sf1). "
     "Edges stay NULL (no extrapolation beyond a symbol's first/last "
     "observation). Deterministic cross-engine: both engines evaluate "
     "the identical double expression on identical fixed-point hourly "
@@ -398,16 +404,22 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket_hour")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # DESCENDING order + growing frame == "first non-null at or after
+    # this row", evaluated in O(n) running state. The naive ascending
+    # frame rowsBetween(0, unboundedFollowing) is a SHRINKING frame,
+    # which Spark executes by re-aggregating the rest of the partition
+    # for every row — O(n^2) per partition (measured 33.9x the oracle
+    # at sf0.1, 438.8 s at sf1 before this swap).
     w_next = (
         Window.partitionBy("user_id")
-        .orderBy("bucket_hour")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("bucket_hour").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     obs_bucket = F.when(F.col("avg_value").isNotNull(), F.col("bucket_hour"))
     prev_v = F.last("avg_value", ignorenulls=True).over(w_prev)
     prev_b = F.last(obs_bucket, ignorenulls=True).over(w_prev)
-    next_v = F.first("avg_value", ignorenulls=True).over(w_next)
-    next_b = F.first(obs_bucket, ignorenulls=True).over(w_next)
+    next_v = F.last("avg_value", ignorenulls=True).over(w_next)
+    next_b = F.last(obs_bucket, ignorenulls=True).over(w_next)
     frac = (F.col("bucket_hour") - prev_b).cast("double") / (
         next_b - prev_b
     ).cast("double")

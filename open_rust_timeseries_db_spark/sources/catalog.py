@@ -216,6 +216,29 @@ def table_bytes(sf_dir: str, name: str) -> int:
         return -1
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTERS (metadata read, no scan).
+
+    The zero-cost input for count-gated sketch sizing (e.g. scaling a
+    CMS grid's width with the input so a fixed threshold gate stays
+    discriminating — queries/analytic._user_cms_ckpt). Returns -1 when
+    the table can't be counted; callers must treat unknown per their
+    own safe direction.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                papq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
+                for dp, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+        return papq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return -1
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; validates the declared schema by name set.
 

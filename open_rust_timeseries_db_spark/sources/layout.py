@@ -341,8 +341,15 @@ def append_time_layout(
     requires every data file at the same leaf depth, so the batch id
     lives in FILE NAMES, not a partition level; the rename-based
     commit is the local-FS stand-in for a table format's snapshot
-    (same seam as compact_chunks' atomic swap). Batch appends
-    (``None``) write plain files straight into the chunk directories.
+    (same seam as compact_chunks' atomic swap). The batch stages to
+    scratch FIRST and swaps per chunk only after the full write
+    succeeds, so a crash mid-replay never loses the previously
+    committed copy. ``ingest_id`` MUST be the stream's monotonic
+    batch id and never reused with different rows — a replayed id is
+    assumed to carry identical data; reuse with different data
+    converges to replace-semantics (the prior payload is dropped),
+    not a union. Batch appends (``None``) write plain files straight
+    into the chunk directories.
     """
     man = read_manifest(path)
     ts_col, chunk_us = man["ts_col"], man["chunk_us"]
@@ -372,33 +379,53 @@ def append_time_layout(
         out.write.mode("append").partitionBy(_CHUNK_COL).parquet(path)
         return
     prefix = f"ingest-{int(ingest_id)}-"
-    # Replay cleanup: remove every file this batch id wrote before
-    # (possibly partial — the crash could have landed some chunks).
-    for entry in os.listdir(path):
-        if not entry.startswith(f"{_CHUNK_COL}="):
-            continue
-        full = os.path.join(path, entry)
-        for fname in os.listdir(full):
-            if fname.startswith(prefix):
-                os.remove(os.path.join(full, fname))
+    # STAGE FIRST, swap after: the scratch write must fully succeed
+    # before any prior file of this batch id is touched — a crash
+    # mid-staging leaves the previously committed batch intact (the
+    # old order deleted first, so a crash between delete and rename
+    # lost the batch entirely). Same stage-then-swap discipline as
+    # compact_chunks.
     scratch = os.path.join(path, f".ingest-{uuid.uuid4().hex[:8]}")
     out.write.mode("overwrite").partitionBy(_CHUNK_COL).parquet(scratch)
     try:
+        staged: dict[str, list[str]] = {}
         for entry in os.listdir(scratch):
-            if not entry.startswith(f"{_CHUNK_COL}="):
-                continue
+            if entry.startswith(f"{_CHUNK_COL}="):
+                staged[entry] = sorted(
+                    f
+                    for f in os.listdir(os.path.join(scratch, entry))
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                )
+        # Per chunk: delete THAT chunk's prior prefix files, then move
+        # the staged replacements in. The unprotected window is one
+        # chunk wide (a concurrent reader can see one chunk's slice of
+        # the batch missing mid-swap) — the documented local-FS seam; a
+        # table format's snapshot commit closes it at cluster scale.
+        for entry, files in staged.items():
             src_dir = os.path.join(scratch, entry)
             dst_dir = os.path.join(path, entry)
             os.makedirs(dst_dir, exist_ok=True)
-            for seq, fname in enumerate(sorted(os.listdir(src_dir))):
-                if not fname.endswith(".parquet") or fname.startswith(
-                    (".", "_")
-                ):
-                    continue
+            for fname in os.listdir(dst_dir):
+                if fname.startswith(prefix):
+                    os.remove(os.path.join(dst_dir, fname))
+            for seq, fname in enumerate(files):
                 os.rename(
                     os.path.join(src_dir, fname),
                     os.path.join(dst_dir, f"{prefix}{seq}.parquet"),
                 )
+        # Prior files of this batch id in chunks the replay did NOT
+        # produce can only exist if an ingest_id was REUSED with
+        # different rows — forbidden by the contract (ingest_id is the
+        # stream's monotonic batch id; a replay carries identical
+        # data). Sweep them anyway so a contract violation converges
+        # to replace-semantics instead of leaving orphans.
+        for entry in os.listdir(path):
+            if not entry.startswith(f"{_CHUNK_COL}=") or entry in staged:
+                continue
+            full = os.path.join(path, entry)
+            for fname in os.listdir(full):
+                if fname.startswith(prefix):
+                    os.remove(os.path.join(full, fname))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

@@ -260,3 +260,25 @@ def test_count_min_merges_by_cell_addition(spark):
     }
     merged = {cell: ga.get(cell, 0) + gb.get(cell, 0) for cell in set(ga) | set(gb)}
     assert gu == merged
+
+
+def test_cms_width_scales_with_threshold_geometry():
+    """Width must grow with n/threshold so a fixed gate threshold
+    stays discriminating (collision floor ~n/width >= 8x below the
+    threshold), clamped to [CMS_WIDTH, CMS_MAX_WIDTH]."""
+    from open_rust_timeseries_db_spark.operators.sketches import (
+        CMS_MAX_WIDTH,
+        CMS_WIDTH,
+        cms_width_for,
+    )
+
+    # small inputs and unknown counts keep the default width
+    assert cms_width_for(None, 1_000_000) == CMS_WIDTH
+    assert cms_width_for(6_000_000, 1_000_000) == CMS_WIDTH
+    # the ADVICE failure tier: ~4B events over a 1M threshold needs
+    # width such that floor = n/width <= threshold/8 -> >= 32768
+    w = cms_width_for(4_000_000_000, 1_000_000)
+    assert w >= 8 * 4_000_000_000 // 1_000_000
+    assert 4_000_000_000 / w <= 1_000_000 / 8
+    # monotone in n, capped at the broadcastable ceiling
+    assert cms_width_for(10**15, 1_000_000) == CMS_MAX_WIDTH

@@ -155,3 +155,26 @@ def test_salted_pairs_cms_sizing_matches_exact_and_drops_a_shuffle(
     # exchange at runtime), so dropping the sizing pass removes two
     # tree occurrences of that one shuffle.
     assert shuffles(cms) == shuffles(exact) - 2
+
+
+def test_salted_pairs_rejects_widthless_grid(spark, monkeypatch):
+    """A grid that lost its build width must be an ERROR, not a silent
+    SALT_CMS_MIN_WIDTH fallback: probing a wider grid's cells modulo a
+    smaller width collapses estimates toward 0 and hot buckets go
+    unsalted — exactly the failure the machinery exists to prevent."""
+    import open_rust_timeseries_db_spark.operators.dedupe as dd
+
+    monkeypatch.setattr(dd, "SALT_MIN_SOURCE_ROWS", 0)
+    m = spark.createDataFrame([(0, 1), (0, 2)], "g int, id long")
+    grid = dd.cms_size_grid(m, ("g",))
+    # a select() returns a NEW DataFrame object without the attribute
+    stripped = grid.select("j", "cell", "c")
+    with pytest.raises(ValueError, match="no build width"):
+        dd.salted_group_pairs(m, ("g",), [], n_member_rows=2,
+                              cms_grid=stripped)
+    # explicit width restores the stripped grid's usability
+    explicit = dd.salted_group_pairs(
+        m, ("g",), [], n_member_rows=2, cms_grid=stripped,
+        cms_width=grid._salt_cms_width,
+    )
+    assert sorted((r["a"], r["b"]) for r in explicit.collect()) == [(1, 2)]
