@@ -181,13 +181,16 @@ def warmup_session(spark, sf_dir: str) -> None:
         nearest_rank_percentiles_by,
     )
 
+    # The conditional-rank agg codegen embeds the percentile constants,
+    # so the warmed class only serves plans using the SAME quantile
+    # list — the engine-default [p50, p90, p99].
     nearest_rank_percentiles_by(
         spark.range(512).select(
             (F.col("id") % 5).alias("k"), (F.col("id") * 0.37).alias("v")
         ),
         "k",
         "v",
-        [("p50", 0.5), ("p90", 0.9)],
+        [("p50", 0.50), ("p90", 0.90), ("p99", 0.99)],
     ).write.format("noop").mode("overwrite").save()
 
     # Warm the multimodal Arrow kernel family (frame_features and the

@@ -442,6 +442,104 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_counter_rate",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) // {_DAY_US} AS day_bucket, value, event_id
+      FROM events
+    ), d AS (
+      SELECT user_id, day_bucket, ts_us, value,
+             LAG(value) OVER (
+               PARTITION BY user_id, day_bucket ORDER BY ts_us, event_id
+             ) AS prev_v
+      FROM e
+    )
+    SELECT user_id, day_bucket,
+           COUNT(*) AS n_samples,
+           CAST(SUM(CASE WHEN prev_v IS NOT NULL AND value < prev_v
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+           {sql_dsum(
+               "CASE WHEN prev_v IS NULL THEN 0.0 "
+               "WHEN value >= prev_v THEN value - prev_v "
+               "ELSE value END"
+           )} AS increase,
+           CASE WHEN MAX(ts_us) > MIN(ts_us)
+                THEN {sql_dsum(
+                    "CASE WHEN prev_v IS NULL THEN 0.0 "
+                    "WHEN value >= prev_v THEN value - prev_v "
+                    "ELSE value END"
+                )} / (CAST(MAX(ts_us) - MIN(ts_us) AS DOUBLE)
+                      / 3600000000.0)
+           END AS rate_per_hour
+    FROM d GROUP BY 1, 2
+    """,
+    doc="Monotonic-counter rate with RESET handling per symbol-day — "
+    "the PromQL increase()/rate() and TimescaleDB counter_agg staple "
+    "for observability series: each sample's contribution is its "
+    "positive delta over the previous sample, and a decrease is read "
+    "as a counter restart (the full new value counts, the drop does "
+    "not). n_resets counts the restarts; rate_per_hour normalizes the "
+    "day's increase by its observed span (NULL for single-sample "
+    "days). Shape: ONE window sort per (symbol, day) partition + the "
+    "same-keyed aggregation — no second exchange (the groupBy is "
+    "satisfied by the window's hash partitioning), embarrassingly "
+    "parallel across symbol-days at 100 TB exactly like the TWAP "
+    "twin. Determinism: lag() rides the total (ts_us, event_id) "
+    "order, per-row deltas are IEEE ops on identical operand pairs, "
+    "the day sum goes through fixed-point dsum, and the final divide "
+    "is one IEEE op on identical doubles.",
+    tags=("timeseries", "counter", "rate", "window"),
+)
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select(
+        "user_id",
+        "ts_us",
+        F.expr(f"ts_us div {_DAY_US}").alias("day_bucket"),
+        "value",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "day_bucket").orderBy(
+        "ts_us", "event_id"
+    )
+    prev = F.lag("value").over(w)
+    inc = (
+        F.when(prev.isNull(), F.lit(0.0))
+        .when(F.col("value") >= prev, F.col("value") - prev)
+        .otherwise(F.col("value"))
+    )
+    d = ev.select(
+        "user_id",
+        "day_bucket",
+        "ts_us",
+        inc.alias("__inc"),
+        (prev.isNotNull() & (F.col("value") < prev))
+        .cast("int")
+        .alias("__is_reset"),
+    )
+    g = d.groupBy("user_id", "day_bucket").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("__is_reset").cast("bigint").alias("n_resets"),
+        dsum("__inc").alias("increase"),
+        F.min("ts_us").alias("__lo"),
+        F.max("ts_us").alias("__hi"),
+    )
+    span_h = (F.col("__hi") - F.col("__lo")).cast("double") / F.lit(
+        3_600_000_000.0
+    )
+    return g.select(
+        "user_id",
+        "day_bucket",
+        "n_samples",
+        "n_resets",
+        "increase",
+        F.when(
+            F.col("__hi") > F.col("__lo"), F.col("increase") / span_h
+        ).alias("rate_per_hour"),
+    )
+
+
+@query(
     "q_time_weighted_avg",
     f"""
     WITH e AS (

@@ -505,6 +505,57 @@ class TestAppendAndStreamingIngest:
         assert read_time_range(spark, path).count() == n_after_replay
 
 
+def test_replay_staging_failure_keeps_committed_batch(spark, tmp_path):
+    """A replayed ingest batch stages to scratch BEFORE touching the
+    previously committed copy: if the staging write fails (executor
+    crash, bad input), the prior batch must remain fully readable.
+    The pre-round-11 order deleted the batch id's files first, so a
+    staging failure lost the committed batch entirely."""
+    import os
+
+    from open_rust_timeseries_db_spark.sources.layout import (
+        append_time_layout,
+        read_time_range,
+        write_time_layout,
+    )
+
+    ev = events_us(spark, SF_DIR).select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    path = str(tmp_path / "crash")
+    write_time_layout(
+        ev.filter(F.col("event_id") % 4 == 0), path, ts_col="ts_us"
+    )
+    batch = ev.filter(F.col("event_id") % 4 == 1)
+    append_time_layout(batch, path, ingest_id=3)
+
+    def full_read():
+        return {
+            tuple(r)
+            for r in read_time_range(spark, path)
+            .select("event_id", "user_id", "ts_us", "value")
+            .collect()
+        }
+
+    want = full_read()
+    # Same schema, same batch id, but the write itself fails at
+    # execution time (assert_true raises inside the scan).
+    bad = batch.filter(F.assert_true(F.lit(False)).isNull())
+    with pytest.raises(Exception):
+        append_time_layout(bad, path, ingest_id=3)
+    assert full_read() == want
+    # The committed batch's files survive under their ingest names and
+    # no scratch staging directory is left behind.
+    files = [
+        f
+        for entry in os.listdir(path)
+        if entry.startswith("chunk_us=")
+        for f in os.listdir(os.path.join(path, entry))
+    ]
+    assert any(f.startswith("ingest-3-") for f in files)
+    assert not [e for e in os.listdir(path) if e.startswith(".ingest-")]
+
+
 def test_retention_drops_only_fully_expired_chunks(spark, tmp_path):
     """drop_chunks_before is conservative: a chunk is deleted only when
     its WHOLE interval precedes the cutoff; reads after retention see
