@@ -693,6 +693,441 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "ts_us", "value", "n", z.alias("zscore"))
 
 
+def _ord_col() -> F.Column:
+    """The registry's total BIGINT tick order (see module docstring)."""
+    return (F.col("ts_us") * 1000 + F.col("event_id") % 1000).alias("ord")
+
+
+_ORD_SQL = "epoch_us(ts) * 1000 + event_id % 1000"
+
+
+@query(
+    "q_m4_downsample",
+    f"""
+    WITH k AS (
+      SELECT user_id,
+             epoch_us(ts) // {_HOUR_US} AS bucket_hour,
+             value,
+             {_ORD_SQL} AS ord
+      FROM events
+    )
+    SELECT user_id, bucket_hour,
+           MIN(value) AS v_min,
+           MAX(value) AS v_max,
+           (MIN({{'v': value, 'o': ord}})).o AS min_ord,
+           (MAX({{'v': value, 'o': ord}})).o AS max_ord,
+           COUNT(*) AS n_points
+    FROM k GROUP BY 1, 2
+    """,
+    doc="M4 visualization downsampling (Jugel et al., VLDB 2014): per "
+    "(symbol, pixel-bucket), the min and max value AND the ordering "
+    "keys where they occur — the four points that make a rendered "
+    "line pixel-exact, unlike plain min/max which loses the x "
+    "coordinates. OHLC's open/close come for free from the same keys "
+    "(q_ohlc_bars); M4's distinctive output is the extremes' "
+    "positions. Shape: ONE partial+final hash agg — the (value, ord) "
+    "extremes travel as lexicographic struct min/max partials, so "
+    "map-side combine applies and the shuffle carries one row per "
+    "(partition, symbol, bucket); no window sort at all. Ties on "
+    "value resolve to the smallest/largest ord — total because ord "
+    "is unique, identical lexicographic struct comparison in both "
+    "engines.",
+    tags=("timeseries", "downsample", "viz"),
+)
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = events_us(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"ts_us div {_HOUR_US}").alias("bucket_hour"),
+        "value",
+        _ord_col(),
+    )
+    vo = F.struct(F.col("value").alias("v"), F.col("ord").alias("o"))
+    return k.groupBy("user_id", "bucket_hour").agg(
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.min(vo)["o"].alias("min_ord"),
+        F.max(vo)["o"].alias("max_ord"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+@query(
+    "q_latest_point",
+    f"""
+    WITH k AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             {_ORD_SQL} AS ord
+      FROM events
+    )
+    SELECT user_id,
+           MAX(ts_us) AS last_ts_us,
+           arg_max(value, ord) AS last_value,
+           COUNT(*) AS n_ticks
+    FROM k GROUP BY 1
+    """,
+    doc="Latest observation per series — THE most-issued query against "
+    "any tick/metrics store (kdb+ 'last', TimescaleDB last(), PromQL "
+    "instant vector): the newest value and its timestamp for every "
+    "symbol. ONE partial+final hash agg; max_by carries (ord, value) "
+    "partials map-side, so the shuffle is one row per (partition, "
+    "symbol) and there is no window sort and no self-join — the "
+    "row_number()=1 formulation costs a full partition sort for the "
+    "same answer. At 100 TB the real deployment serves this from the "
+    "ingest-maintained continuous aggregate's tail, same plan shape.",
+    tags=("timeseries", "latest"),
+)
+def q_latest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = events_us(spark, sf_dir).select("user_id", "ts_us", "value", _ord_col())
+    return k.groupBy("user_id").agg(
+        F.max("ts_us").alias("last_ts_us"),
+        F.max_by("value", "ord").alias("last_value"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+# Heartbeat liveness window: a sample keeps its series "live" for 30
+# simulated minutes (the testdata emits a handful of events per
+# symbol-day, so both covered and dead spans occur at every sf tier).
+_HEARTBEAT_US = 1_800_000_000
+
+
+@query(
+    "q_heartbeat_uptime",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) // {_DAY_US} AS day_bucket,
+             {_ORD_SQL} AS ord
+      FROM events
+    ), d AS (
+      SELECT user_id, day_bucket, ts_us,
+             LEAD(ts_us) OVER (
+               PARTITION BY user_id, day_bucket ORDER BY ts_us, ord
+             ) AS nxt
+      FROM e
+    )
+    SELECT user_id, day_bucket,
+           COUNT(*) AS n_beats,
+           CAST(SUM(LEAST(
+             {_HEARTBEAT_US},
+             COALESCE(nxt, (day_bucket + 1) * {_DAY_US}) - ts_us
+           )) AS BIGINT) AS live_us,
+           CAST(SUM(CASE WHEN nxt IS NOT NULL
+                          AND nxt - ts_us > {_HEARTBEAT_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_gaps,
+           CAST(CAST(SUM(LEAST(
+             {_HEARTBEAT_US},
+             COALESCE(nxt, (day_bucket + 1) * {_DAY_US}) - ts_us
+           )) AS BIGINT) AS DOUBLE) / {_DAY_US}.0 AS live_ratio
+    FROM d GROUP BY 1, 2
+    """,
+    doc="Heartbeat/uptime aggregation (the TimescaleDB heartbeat_agg "
+    "staple for device fleets): each sample keeps its series live for "
+    "a fixed window, and the union of those intervals per symbol-day "
+    "gives covered time, dead-gap count, and uptime ratio. The "
+    "interval union needs no sweep-line: intervals start at sample "
+    "times, so covered time is sum(min(gap_to_next, window)) with the "
+    "last sample clamped to the day boundary — one lead() per "
+    "(symbol, day) partition plus the same-keyed aggregation, no "
+    "second exchange, embarrassingly parallel across symbol-days at "
+    "100 TB. Every quantity is integer µs arithmetic; the one double "
+    "(live_ratio) is a single identical IEEE divide in both engines.",
+    tags=("timeseries", "uptime", "window"),
+)
+def q_heartbeat_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_us(spark, sf_dir).select(
+        "user_id",
+        "ts_us",
+        F.expr(f"ts_us div {_DAY_US}").alias("day_bucket"),
+        _ord_col(),
+    )
+    w = Window.partitionBy("user_id", "day_bucket").orderBy("ts_us", "ord")
+    nxt = F.lead("ts_us").over(w)
+    d = e.select(
+        "user_id",
+        "day_bucket",
+        F.least(
+            F.lit(_HEARTBEAT_US),
+            F.coalesce(nxt, (F.col("day_bucket") + 1) * _DAY_US)
+            - F.col("ts_us"),
+        ).alias("__live"),
+        (nxt.isNotNull() & (nxt - F.col("ts_us") > _HEARTBEAT_US))
+        .cast("int")
+        .alias("__dead"),
+    )
+    g = d.groupBy("user_id", "day_bucket").agg(
+        F.count(F.lit(1)).alias("n_beats"),
+        F.sum("__live").cast("bigint").alias("live_us"),
+        F.sum("__dead").cast("bigint").alias("n_dead_gaps"),
+    )
+    return g.select(
+        "user_id",
+        "day_bucket",
+        "n_beats",
+        "live_us",
+        "n_dead_gaps",
+        (F.col("live_us").cast("double") / F.lit(float(_DAY_US))).alias(
+            "live_ratio"
+        ),
+    )
+
+
+@query(
+    "q_state_durations",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             epoch_us(ts) // {_DAY_US} AS day_bucket,
+             {_ORD_SQL} AS ord
+      FROM events
+    ), d AS (
+      SELECT event_type,
+             COALESCE(LEAD(ts_us) OVER (
+               PARTITION BY user_id, day_bucket ORDER BY ts_us, ord
+             ), (day_bucket + 1) * {_DAY_US}) - ts_us AS dur_us
+      FROM e
+    )
+    SELECT event_type,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE) / COUNT(*)
+             AS avg_interval_us
+    FROM d GROUP BY 1
+    """,
+    doc="Time-in-state aggregation (TimescaleDB state_agg / flink CEP "
+    "duration staple): each sample's event_type is the state its "
+    "series occupies until the next sample (day-bounded, so a silent "
+    "series closes its last state at the day boundary instead of "
+    "bleeding across the archive); output is total and mean occupancy "
+    "per state. One lead() per (symbol, day) partition; the "
+    "state-keyed re-aggregation shuffles the 5-state partial table, "
+    "not the ticks (partial+final agg). Durations are integer µs; the "
+    "mean is one identical IEEE divide.",
+    tags=("timeseries", "state", "window"),
+)
+def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_us(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.expr(f"ts_us div {_DAY_US}").alias("day_bucket"),
+        _ord_col(),
+    )
+    w = Window.partitionBy("user_id", "day_bucket").orderBy("ts_us", "ord")
+    d = e.select(
+        "event_type",
+        (
+            F.coalesce(
+                F.lead("ts_us").over(w),
+                (F.col("day_bucket") + 1) * _DAY_US,
+            )
+            - F.col("ts_us")
+        ).alias("dur_us"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_us").cast("bigint").alias("total_us"),
+        (
+            F.sum("dur_us").cast("bigint").cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_interval_us"),
+    )
+
+
+# EWMA smoothing factor: contribution of the newest sample. 0.3 is in
+# double range where the decay survives hundreds of samples per
+# symbol-day without denormal underflow.
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "q_ewma_smooth",
+    f"""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(ts) // {_DAY_US} AS day_bucket,
+             value,
+             {_ORD_SQL} AS ord
+      FROM events
+    ), g AS (
+      SELECT user_id, day_bucket,
+             list(value ORDER BY ord) AS vs,
+             COUNT(*) AS n_samples
+      FROM e GROUP BY 1, 2
+    )
+    SELECT user_id, day_bucket, n_samples,
+           list_reduce(vs, (acc, x) ->
+             {_EWMA_ALPHA}e0 * x + {1 - _EWMA_ALPHA}e0 * acc) AS ewma
+    FROM g
+    """,
+    doc="Exponentially-weighted moving average per symbol-day — the "
+    "kdb+ ema / pandas ewm staple whose recurrence (ewma = a*x + "
+    "(1-a)*prev) is inherently sequential and outside SQL window "
+    "frames. Both engines run the IDENTICAL left fold — Spark "
+    "F.aggregate over the (ord-sorted) collected day, DuckDB "
+    "list_reduce over list(ORDER BY ord) — so every intermediate is "
+    "the same IEEE double and the hash matches bit-exactly with no "
+    "fixed-point detour. State per group is one double; the collect "
+    "is bounded by the day partition (the same bound the TWAP/LOCF "
+    "family rides), so memory stays O(samples-per-symbol-day) at any "
+    "archive depth. One shuffle total (the groupBy); no window sort.",
+    tags=("timeseries", "smoothing", "fold"),
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_us(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"ts_us div {_DAY_US}").alias("day_bucket"),
+        "value",
+        _ord_col(),
+    )
+    g = e.groupBy("user_id", "day_bucket").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ord"), F.col("value")))
+        ).alias("pairs"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    vs = F.transform(F.col("pairs"), lambda p: p["value"])
+    a, b = F.lit(_EWMA_ALPHA), F.lit(1 - _EWMA_ALPHA)
+    ewma = F.aggregate(
+        vs,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(a * x + b * acc),
+    )
+    return g.select("user_id", "day_bucket", "n_samples", ewma.alias("ewma"))
+
+
+@query(
+    "q_max_drawdown",
+    f"""
+    WITH e AS (
+      SELECT user_id, value,
+             {_ORD_SQL} AS ord
+      FROM events
+    ), r AS (
+      SELECT user_id, value,
+             MAX(value) OVER (
+               PARTITION BY user_id ORDER BY ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS peak
+      FROM e
+    )
+    SELECT user_id,
+           COUNT(*) AS n_ticks,
+           MAX(peak) AS peak_value,
+           MIN(CASE WHEN peak > 0 THEN (value - peak) / peak END)
+             AS max_drawdown
+    FROM r GROUP BY 1
+    """,
+    doc="Maximum drawdown per symbol — the canonical risk statistic: "
+    "largest fractional drop from a running peak over the full tick "
+    "history. The running peak is a GROWING max frame (unbounded "
+    "preceding -> current row), which Spark executes in O(n) per "
+    "partition — the exact linear/quadratic frame distinction the "
+    "gap-fill rework established; the per-row drawdown is one "
+    "identical IEEE subtract+divide and the final MIN/MAX are "
+    "order-insensitive. One window sort per symbol plus the same-"
+    "keyed aggregation (no second exchange). Partitions grow with "
+    "archive depth like the LOCF family — at 100 TB the deployment "
+    "computes per-epoch drawdown partials from the continuous "
+    "aggregate instead of raw ticks; the frame stays linear either "
+    "way. Non-positive peaks are excluded deterministically (the "
+    "ratio is only meaningful for positive prices).",
+    tags=("timeseries", "risk", "window"),
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_us(spark, sf_dir).select("user_id", "value", _ord_col())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = e.select(
+        "user_id", "value", F.max("value").over(w).alias("peak")
+    )
+    dd = F.when(
+        F.col("peak") > 0,
+        (F.col("value") - F.col("peak")) / F.col("peak"),
+    )
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.max("peak").alias("peak_value"),
+        F.min(dd).alias("max_drawdown"),
+    )
+
+
+@query(
+    "q_top_movers",
+    f"""
+    WITH k AS (
+      SELECT user_id,
+             epoch_us(ts) // {_DAY_US} AS day_bucket,
+             value,
+             {_ORD_SQL} AS ord
+      FROM events
+    ), bars AS (
+      SELECT user_id, day_bucket,
+             arg_min(value, ord) AS open_v,
+             arg_max(value, ord) AS close_v
+      FROM k GROUP BY 1, 2
+    ), chg AS (
+      SELECT user_id, day_bucket, open_v, close_v,
+             (close_v - open_v) / open_v AS pct_change
+      FROM bars WHERE open_v > 0
+    )
+    SELECT day_bucket, rk, user_id, open_v, close_v, pct_change
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY day_bucket
+               ORDER BY pct_change DESC, user_id
+             ) AS INT) AS rk
+      FROM chg
+    )
+    WHERE rk <= 3
+    """,
+    doc="Top daily gainers — the market-screener staple: open/close "
+    "per symbol-day from arg_min/arg_max on the total tick order, "
+    "percent change, then the top 3 movers per day by rank. Two "
+    "exchanges total: the partial+final bar aggregation over ticks, "
+    "then a window rank over the BAR table (one row per symbol-day — "
+    "at 100 TB that is ~10^6x smaller than the tick scan, so the "
+    "rank's day-partitioned sort is trivially cheap; served from the "
+    "continuous aggregate in deployment). pct_change is one identical "
+    "IEEE subtract+divide; the rank order carries the user_id "
+    "tie-break so LIMIT-by-rank is total cross-engine.",
+    tags=("timeseries", "rank", "downsample"),
+)
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = events_us(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"ts_us div {_DAY_US}").alias("day_bucket"),
+        "value",
+        _ord_col(),
+    )
+    bars = k.groupBy("user_id", "day_bucket").agg(
+        F.min_by("value", "ord").alias("open_v"),
+        F.max_by("value", "ord").alias("close_v"),
+    )
+    chg = bars.filter(F.col("open_v") > 0).select(
+        "user_id",
+        "day_bucket",
+        "open_v",
+        "close_v",
+        (
+            (F.col("close_v") - F.col("open_v")) / F.col("open_v")
+        ).alias("pct_change"),
+    )
+    w = Window.partitionBy("day_bucket").orderBy(
+        F.col("pct_change").desc(), "user_id"
+    )
+    return (
+        chg.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "day_bucket", "rk", "user_id", "open_v", "close_v", "pct_change"
+        )
+    )
+
+
 # One mid-span day of the testdata's fixed January-2024 month (all sf
 # tiers share the generator's clock): 2024-01-08 UTC.
 _WINDOW_LO_US = 1_704_672_000_000_000
