@@ -550,3 +550,86 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_knn_classify",
+    f"""
+    WITH {_NORMS_CTE}, {_EXACT_CTES}, nn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rnk
+        FROM cos)
+      WHERE rnk <= {_ANN_K}
+    ), votes AS (
+      SELECT nn.query_id, e.label,
+             CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+      GROUP BY 1, 2
+    )
+    SELECT v.query_id,
+           q.label AS true_label,
+           v.label AS predicted_label,
+           v.n_votes,
+           CAST(v.label = q.label AS INT) AS correct
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY n_votes DESC, label
+             ) AS vr
+      FROM votes
+    ) v
+    JOIN embeddings q ON q.vec_id = v.query_id
+    WHERE vr = 1
+    """,
+    doc=f"k-NN label classification — the retrieval-augmented twin of "
+    "the ANN family: each query vector takes the majority label of its "
+    f"top-{_ANN_K} exact cosine neighbors (the `label` column is the "
+    "ground truth), with the prediction checked against the query's "
+    "own label. Serves from the session-cached exact top-k table "
+    "(Q*k rows, the frozen ground-truth build q_ann_recall also "
+    "reads) joined to a broadcast label projection — per invocation "
+    "nothing touches the corpus. Vote ties break deterministically to "
+    "the smallest label; neighbor ties ride the (cosine DESC, "
+    "neighbor_id) total order everything in this module shares. At "
+    "100 TB the same shape holds with q_ann_search's cell-probe "
+    "top-k substituted for the exact table.",
+    tags=("similarity", "knn", "classify"),
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    nn = _exact_topk_ckpt(emb).select("query_id", "neighbor_id")
+    votes = (
+        nn.join(
+            F.broadcast(labels),
+            nn["neighbor_id"] == labels["vec_id"],
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), "label"
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+        )
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "true_label",
+        "predicted_label",
+        "n_votes",
+        (F.col("predicted_label") == F.col("true_label"))
+        .cast("int")
+        .alias("correct"),
+    )

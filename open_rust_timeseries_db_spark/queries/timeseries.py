@@ -1128,6 +1128,113 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_cusum_changepoint",
+    f"""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(ts) // {_DAY_US} AS day_bucket,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS xs,
+             {_ORD_SQL} AS ord
+      FROM events
+    ), g AS (
+      SELECT user_id, day_bucket, ord, xs,
+             CAST(COUNT(*) OVER pd AS BIGINT) AS n,
+             CAST(SUM(xs) OVER pd AS BIGINT) AS sx
+      FROM e
+      WINDOW pd AS (PARTITION BY user_id, day_bucket)
+    ), s AS (
+      SELECT user_id, day_bucket, ord, n,
+             n * CAST(SUM(xs) OVER po AS BIGINT)
+               - CAST(ROW_NUMBER() OVER po AS BIGINT) * sx AS walk
+      FROM g
+      WINDOW po AS (PARTITION BY user_id, day_bucket ORDER BY ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), d AS (
+      SELECT user_id, day_bucket, ord, n,
+             CAST(walk - MIN(walk) OVER po2 AS BIGINT) AS drawup
+      FROM s
+      WINDOW po2 AS (PARTITION BY user_id, day_bucket ORDER BY ord
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day_bucket,
+           MAX(n) AS n_samples,
+           CAST(MAX(drawup) AS DOUBLE)
+             / (CAST(MAX(n) AS DOUBLE) * 1000000.0) AS cusum_stat,
+           -((MAX({{'d': drawup, 'no': -ord}})).no) AS cp_ord
+    FROM d GROUP BY 1, 2
+    """,
+    doc="CUSUM change-point detection per symbol-day — the monitoring "
+    "staple for mean shifts (Page 1954): the classic two-sided CUSUM "
+    "range statistic max_t(S_t) - min_t(S_t over the prefix), where "
+    "S_t is the prefix sum of mean-centered samples, re-expressed as "
+    "PURE WINDOW ALGEBRA: the drawup of the centered prefix walk "
+    "(running sum minus its running min — both GROWING O(n) frames, "
+    "the linear/quadratic discipline the gap-fill rework "
+    "established). cp_ord estimates the change location (the argmax "
+    "of the drawup, first occurrence on ties via the -ord struct "
+    "tie-break). Determinism: the walk is kept INTEGER by scaling — "
+    "n*prefix(xs) - rank*sum(xs) avoids dividing by n, so every "
+    "intermediate is exact BIGINT (|walk| <= n^2 * max|x| * 1e6, "
+    "~2^50 at 1k samples/day — re-center per epoch past that) and "
+    "only the final stat is one identical IEEE cast-divide. Shape: "
+    "one shuffle on (symbol, day); the unordered moment window, both "
+    "running windows and the final agg all share it.",
+    tags=("timeseries", "changepoint", "window"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.queries.helpers import _scaled_long
+
+    e = events_us(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"ts_us div {_DAY_US}").alias("day_bucket"),
+        _scaled_long(F.col("value")).alias("xs"),
+        _ord_col(),
+    )
+    keys = ("user_id", "day_bucket")
+    w_part = Window.partitionBy(*keys)
+    w_ord = Window.partitionBy(*keys).orderBy("ord")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = e.select(
+        "user_id",
+        "day_bucket",
+        "ord",
+        "xs",
+        F.count(F.lit(1)).over(w_part).cast("bigint").alias("n"),
+        F.sum("xs").over(w_part).cast("bigint").alias("sx"),
+    )
+    s = g.select(
+        "user_id",
+        "day_bucket",
+        "ord",
+        "n",
+        (
+            F.col("n") * F.sum("xs").over(w_run).cast("bigint")
+            - F.row_number().over(w_ord).cast("bigint") * F.col("sx")
+        ).alias("walk"),
+    )
+    d = s.select(
+        "user_id",
+        "day_bucket",
+        "ord",
+        "n",
+        (F.col("walk") - F.min("walk").over(w_run))
+        .cast("bigint")
+        .alias("drawup"),
+    )
+    arg = F.struct(
+        F.col("drawup").alias("d"), (-F.col("ord")).alias("no")
+    )
+    return d.groupBy("user_id", "day_bucket").agg(
+        F.max("n").alias("n_samples"),
+        (
+            F.max("drawup").cast("double")
+            / (F.max("n").cast("double") * F.lit(1_000_000.0))
+        ).alias("cusum_stat"),
+        (-F.max(arg)["no"]).alias("cp_ord"),
+    )
+
+
 # One mid-span day of the testdata's fixed January-2024 month (all sf
 # tiers share the generator's clock): 2024-01-08 UTC.
 _WINDOW_LO_US = 1_704_672_000_000_000

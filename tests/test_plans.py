@@ -102,6 +102,9 @@ def test_python_confined_to_designated_operators(spark, qs):
         "q_ann_search",
         # recall gate composes the two Arrow pipelines above
         "q_ann_recall",
+        # label vote over the exact top-k table (same Arrow build as
+        # the recall gate's ground-truth side)
+        "q_knn_classify",
         "q_embedding_neardup",
         "q_frame_sample",
         # functions/text_kernels.py consumers (shingle/MinHash/SimHash
