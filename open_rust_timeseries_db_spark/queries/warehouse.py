@@ -245,3 +245,90 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@query(
+    "q_percent_of_total",
+    f"""
+    WITH s AS (
+      SELECT o_orderpriority,
+             {sql_dsum("o_totalprice")} AS revenue,
+             CAST(SUM(CAST(FLOOR(o_totalprice*1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rfx
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, revenue,
+           CAST(rfx AS DOUBLE)
+             / CAST(CAST(SUM(rfx) OVER () AS BIGINT) AS DOUBLE) AS share
+    FROM s
+    """,
+    doc="Ratio-to-report (percent of total): each order priority's "
+    "share of global revenue — the OLAP reporting staple "
+    "(RATIO_TO_REPORT in Oracle/Trino terms). The share window runs "
+    "over the POST-AGGREGATION priority table (5 rows), never raw "
+    "orders, so the single-task window is bounded by the group-key "
+    "cardinality at any data scale. Determinism: shares divide the "
+    "BIGINT fixed-point partials (a window SUM over doubles would "
+    "re-accumulate in engine-specific order), one identical IEEE "
+    "cast-divide per row.",
+    tags=("warehouse", "window", "report"),
+)
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from open_rust_timeseries_db_spark.queries.helpers import _scaled_long
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.groupBy("o_orderpriority").agg(
+        dsum("o_totalprice").alias("revenue"),
+        F.sum(_scaled_long(F.col("o_totalprice")))
+        .cast("bigint")
+        .alias("rfx"),
+    )
+    w = Window.partitionBy()
+    return s.select(
+        "o_orderpriority",
+        "revenue",
+        (
+            F.col("rfx").cast("double")
+            / F.sum("rfx").over(w).cast("bigint").cast("double")
+        ).alias("share"),
+    )
+
+
+@query(
+    "q_mom_growth",
+    f"""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month_start,
+             {sql_dsum("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month_start, revenue,
+           (revenue - LAG(revenue) OVER (ORDER BY month_start))
+             / LAG(revenue) OVER (ORDER BY month_start) AS mom_growth
+    FROM m
+    """,
+    doc="Month-over-month growth: monthly revenue with its relative "
+    "change from the prior month — the period-over-period reporting "
+    "staple. The lag window runs over the POST-AGGREGATION month "
+    "spine (rows bounded by the calendar span, like "
+    "q_recursive_calendar), never the fact scan; revenues are exact "
+    "dsum doubles so the growth ratio is identical IEEE ops on "
+    "identical operands (first month NULL in both engines).",
+    tags=("warehouse", "window", "report"),
+)
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month_start")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month_start",
+        "revenue",
+        ((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )

@@ -373,6 +373,11 @@ def test_single_task_sorts_confined_to_allowlist(spark, qs):
         "q_value_histogram": "window over tiny bin table",
         # Date-spine recursion: rows bounded by the calendar span.
         "q_recursive_calendar": "bounded date spine",
+        # Ratio-to-report / period-over-period: the window runs over
+        # the POST-AGGREGATION key table (5 priorities / the month
+        # spine), bounded by group-key cardinality at any scale.
+        "q_percent_of_total": "window over 5-row priority table",
+        "q_mom_growth": "lag over bounded month spine",
     }
 
     def single_task_data_ops(plan: str) -> bool:
