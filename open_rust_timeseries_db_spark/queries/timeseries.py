@@ -710,14 +710,20 @@ _ORD_SQL = "epoch_us(ts) * 1000 + event_id % 1000"
              value,
              {_ORD_SQL} AS ord
       FROM events
+    ), w AS (
+      SELECT user_id, bucket_hour, value, ord,
+             MIN(value) OVER pb AS vmin,
+             MAX(value) OVER pb AS vmax
+      FROM k
+      WINDOW pb AS (PARTITION BY user_id, bucket_hour)
     )
     SELECT user_id, bucket_hour,
            MIN(value) AS v_min,
            MAX(value) AS v_max,
-           (MIN({{'v': value, 'o': ord}})).o AS min_ord,
-           (MAX({{'v': value, 'o': ord}})).o AS max_ord,
+           MIN(CASE WHEN value = vmin THEN ord END) AS min_ord,
+           MAX(CASE WHEN value = vmax THEN ord END) AS max_ord,
            COUNT(*) AS n_points
-    FROM k GROUP BY 1, 2
+    FROM w GROUP BY 1, 2
     """,
     doc="M4 visualization downsampling (Jugel et al., VLDB 2014): per "
     "(symbol, pixel-bucket), the min and max value AND the ordering "
@@ -729,9 +735,13 @@ _ORD_SQL = "epoch_us(ts) * 1000 + event_id % 1000"
     "extremes travel as lexicographic struct min/max partials, so "
     "map-side combine applies and the shuffle carries one row per "
     "(partition, symbol, bucket); no window sort at all. Ties on "
-    "value resolve to the smallest/largest ord — total because ord "
-    "is unique, identical lexicographic struct comparison in both "
-    "engines.",
+    "value resolve to the smallest ord for the min and the largest "
+    "for the max — total because ord is unique; the oracle derives "
+    "the identical extremes via a per-bucket window + conditional "
+    "agg (DuckDB 1.0 executes struct-MIN/MAX aggregates ~400x slower "
+    "than this form — 34.8 s vs 0.09 s at sf0.1 — while Spark's "
+    "struct partials are the FASTER Spark shape, so the two sides "
+    "deliberately use different but value-identical formulations).",
     tags=("timeseries", "downsample", "viz"),
 )
 def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
