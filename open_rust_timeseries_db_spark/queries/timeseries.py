@@ -1323,8 +1323,8 @@ def q_append_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Symbol band: non-empty at sf0.01 and above (sf0.01 has 1.5k user
-# ids, sf0.1/sf1 have 15k). At sf0.001 there are only ~15 ids, so the
+# Symbol band: non-empty at sf0.01 and above (sf0.01 has 150 user
+# ids, sf0.1 1.5k, sf1 15k). At sf0.001 there are only ~15 ids, so the
 # band — and the oracle — both return zero rows and the parity check
 # is vacuous there; the driver compares at sf0.01, where it bites.
 _ZBAND_LO, _ZBAND_HI = 40, 79
