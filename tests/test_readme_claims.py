@@ -25,17 +25,47 @@ def _load_mod():
 def test_readme_gate_claim_matches_committed_artifact():
     mod = _load_mod()
     bench = json.loads((ROOT / "ORACLE_BENCH.json").read_text())
-    expected = mod.compute_block(bench)
     readme = (ROOT / "README.md").read_text()
-    m = re.search(
-        re.escape(mod.BEGIN) + r"\n(.*?)\n" + re.escape(mod.END),
+    for begin, end, expected in (
+        (mod.BEGIN, mod.END, mod.compute_block(bench)),
+        (mod.AGG_BEGIN, mod.AGG_END, mod.compute_aggregate_block(bench)),
+    ):
+        m = re.search(
+            re.escape(begin) + r"\n(.*?)\n" + re.escape(end),
+            readme,
+            re.S,
+        )
+        assert m, f"README.md lost its {begin} block"
+        assert m.group(1) == expected, (
+            "README's generated perf block drifted from "
+            "ORACLE_BENCH.json — rerun scripts/readme_perf_claims.py"
+        )
+
+
+def test_readme_has_no_handwritten_aggregate_numbers():
+    """Round 11's drift shape: the full-engine aggregate comparison
+    ('X s cache builds + Y s colds vs Z s oracle') hand-written one
+    paragraph above the generated block, three rounds stale. The
+    aggregate now lives ONLY between the ORACLE_AGGREGATE_CLAIM
+    markers; the tell-tale hand-written forms must not reappear."""
+    mod = _load_mod()
+    readme = (ROOT / "README.md").read_text()
+    outside = re.sub(
+        re.escape(mod.AGG_BEGIN) + r".*?" + re.escape(mod.AGG_END),
+        "",
         readme,
-        re.S,
+        flags=re.S,
     )
-    assert m, "README.md lost its ORACLE_GATE_CLAIM block"
-    assert m.group(1) == expected, (
-        "README's committed-roll perf block drifted from "
-        "ORACLE_BENCH.json — rerun scripts/readme_perf_claims.py"
+    # The stale round-8-era numbers the round-11 verdict flagged.
+    for stale in ("6.8 + 50", "4.9 s cold", "191 s", "60.9 s"):
+        assert stale not in outside, (
+            f"hand-written aggregate number {stale!r} is back in README "
+            "outside the generated block"
+        )
+    # No '<float>x overall' aggregate-ratio claim outside the block.
+    assert not re.search(r"\d+(\.\d+)?[x×] *\n?overall", outside), (
+        "an 'Nx overall' aggregate claim appears outside the generated "
+        "ORACLE_AGGREGATE_CLAIM block"
     )
 
 
