@@ -61,8 +61,43 @@ def main() -> None:
     specs = all_queries()
     duck_cold: dict[str, float] = {}
     duck_warm: dict[str, float] = {}
+    oracle_kind: dict[str, str] = {}
     for name, spec in sorted(specs.items()):
-        if not spec.oracle or name in skip:
+        if not spec.oracle:
+            continue
+        if name in skip:
+            # A skipped SQL oracle with a PRECOMPUTED independent
+            # oracle shipped next to the parquet (gen_sf1's SimHash ->
+            # band-block -> union-find pipeline, bridge-tested against
+            # the recursive CTE at tractable tiers) still gets a bench
+            # row: the oracle side is the union-find oracle COMPUTED
+            # here (numpy/stdlib single-node work — the honest
+            # alternative-engine cost), never a bare parquet read,
+            # and the row is labeled so the ratio's basis is explicit.
+            if name != "q_dedup_clusters" or not (
+                Path(sf_dir) / "expected_dedup_clusters.parquet"
+            ).exists():
+                continue
+            import importlib.util
+
+            gpath = Path(__file__).resolve().parent / "gen_sf1.py"
+            mspec = importlib.util.spec_from_file_location("gen_sf1", gpath)
+            gen_sf1 = importlib.util.module_from_spec(mspec)
+            mspec.loader.exec_module(gen_sf1)
+            ids, texts = con.execute(
+                "SELECT doc_id, text FROM documents"
+            ).fetchnumpy()["doc_id"], [
+                r[0]
+                for r in con.execute("SELECT text FROM documents").fetchall()
+            ]
+            for i in range(2):
+                t0 = time.perf_counter()
+                gen_sf1.expected_dedup_clusters(ids, texts)
+                dt = time.perf_counter() - t0
+                if i == 0:
+                    duck_cold[name] = dt
+                duck_warm[name] = min(duck_warm.get(name, dt), dt)
+            oracle_kind[name] = "precomputed_union_find_python"
             continue
         best = float("inf")
         for i in range(2):
@@ -173,6 +208,13 @@ def main() -> None:
                 # per-row evidence behind the "over-gate rows are
                 # scheduling floor, not plan defects" claim.
                 "decomp": decomp.get(name),
+                # Present only when the oracle side is NOT the DuckDB
+                # SQL (e.g. the sf1 union-find clustering oracle).
+                **(
+                    {"oracle_kind": oracle_kind[name]}
+                    if name in oracle_kind
+                    else {}
+                ),
             }
             for name, dc, dw, sc, sw, rc, rw in rows
         },
