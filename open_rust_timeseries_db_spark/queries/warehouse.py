@@ -123,6 +123,19 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB the filtered orders side stops fitting and AQE/stats
     # would flip this join to SMJ — the hint encodes the tier, the
     # projection discipline carries to any tier.
+    #
+    # The post-join aggregate groups on l_orderkey ALONE and carries
+    # the order attributes as first(): orders is unique per orderkey,
+    # so o_orderdate/o_orderpriority are constant within each group
+    # and first() is deterministic — same rows, skinnier hash-agg key.
+    # Adopted from scripts/ship_preagg_probe.py ("preagg_semi",
+    # SHIP_PREAGG_PROBE.json): measured best of four join/agg shapes
+    # at sf1 (0.93 s vs 1.01 s median, tightest spread); the probe
+    # also REJECTED pre-aggregating lineitem before the join (2.9x
+    # slower — the extra orderkey shuffle dwarfs the probe-side
+    # shrink). The residual sf1 over-gate margin is the
+    # dims-broadcast-build jobs + session floor, adjudicated in
+    # BASELINE.md.
     cutoff = F.lit(_Q3_DATE).cast("timestamp")
     cust = (
         load_table(spark, sf_dir, "customer")
@@ -144,8 +157,12 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return (
         li.join(F.broadcast(dims), li["l_orderkey"] == dims["o_orderkey"])
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(_rev_col()).alias("revenue"))
+        .groupBy("l_orderkey")
+        .agg(
+            dsum(_rev_col()).alias("revenue"),
+            F.first("o_orderdate").alias("o_orderdate"),
+            F.first("o_orderpriority").alias("o_orderpriority"),
+        )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
