@@ -173,6 +173,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytic,
         dedup,
         functions_q,
+        indicators,
         multimodal,
         parity,
         pipeline,

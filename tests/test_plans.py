@@ -378,6 +378,11 @@ def test_single_task_sorts_confined_to_allowlist(spark, qs):
         # spine), bounded by group-key cardinality at any scale.
         "q_percent_of_total": "window over 5-row priority table",
         "q_mom_growth": "lag over bounded month spine",
+        # Share/cum-share windows run over the POST-AGGREGATION decile
+        # table (<= 10 rows by construction); the raw-row work — the
+        # percentile cutoffs — rides the size-gated percentile
+        # operator, never a global row sort.
+        "q_revenue_concentration": "window over <=10-row decile table",
     }
 
     def single_task_data_ops(plan: str) -> bool:
@@ -445,6 +450,7 @@ def test_no_cartesian_products_and_bnlj_allowlisted(spark, qs):
         "q_heavy_hitters": "one-row sketch-total attach",
         "q_range_join": "theta join, broadcast build side by design",
         "q_set_ops": "one-row count attach",
+        "q_revenue_concentration": "one-row decile-cutoffs attach",
     }
     cart, rogue = [], []
     for name, spec in sorted(qs.items()):
