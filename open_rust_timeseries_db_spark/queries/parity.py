@@ -361,8 +361,16 @@ def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_type) — the grouped form is how exact percentiles survive "
     "at scale: each key sorts independently in its own partition "
     "instead of one global single-task sort. Total tie-break "
-    "(value, event_id) keeps rank assignment deterministic.",
+    "(value, event_id) keeps rank assignment deterministic. Runs with "
+    "AQE off: the two-exchange histogram plan is statically sized "
+    "(balanced high-cardinality (key,value) first exchange, bounded "
+    "distinct-value histogram second), so AQE's runtime re-plan buys "
+    "nothing at any scale while splitting the action into 3 stage-jobs "
+    "whose scheduler floor WAS the query's entire over-gate margin "
+    "(GROUPPCT_FUSE_PROBE.json: 1 job, sf1 median 0.53 s vs 0.70 s; "
+    "array-fold and single-exchange fusions measured-rejected there).",
     tags=("parity", "percentile", "window"),
+    session_confs={"spark.sql.adaptive.enabled": "false"},
 )
 def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_rust_timeseries_db_spark.operators.percentiles import (

@@ -52,6 +52,47 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Per-query session-conf overrides, scoped by restore-on-next-build:
+# building any registered query first restores every conf the PREVIOUS
+# query overrode (to the value it had before that override), then
+# applies the new query's overrides. In the sequential build->collect
+# loop every driver runs, the conf state during a query's action is
+# exactly its own declared overrides, and nothing leaks past the next
+# query build — the same per-build scoping ``load_table`` already uses
+# for the parquet read confs. Keyed by applicationId so baselines from
+# one session are never replayed into another.
+_ACTIVE_OVERRIDES: dict[str, dict[str, str | None]] = {}
+
+
+def _apply_session_confs(
+    spark: SparkSession, confs: dict[str, str] | None
+) -> None:
+    app = spark.sparkContext.applicationId
+    prior = _ACTIVE_OVERRIDES.pop(app, {})
+    for key, baseline in prior.items():
+        try:
+            if baseline is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, baseline)
+        except Exception:
+            pass
+    if not confs:
+        return
+    applied: dict[str, str | None] = {}
+    for key, value in confs.items():
+        try:
+            try:
+                baseline = spark.conf.get(key)
+            except Exception:
+                baseline = None
+            spark.conf.set(key, value)
+            applied[key] = baseline
+        except Exception:
+            pass
+    if applied:
+        _ACTIVE_OVERRIDES[app] = applied
+
 
 def query(
     name: str,
@@ -59,8 +100,17 @@ def query(
     doc: str = "",
     tags: tuple[str, ...] = (),
     memo_plan: bool = True,
+    session_confs: dict[str, str] | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Register a (spark_fn, oracle_sql) pair under ``name``.
+
+    ``session_confs`` declares runtime confs this query's ACTION should
+    run under (e.g. disabling AQE for a fixed two-exchange plan whose
+    stage-jobs are pure scheduler floor). Applied at build time and
+    restored when the NEXT registered query builds — see
+    :data:`_ACTIVE_OVERRIDES`. Only confs that cannot change results
+    belong here (planner/scheduler levers); correctness-bearing confs
+    stay in ``RUNTIME_CONFS``.
 
     ``memo_plan`` (default on) wraps the function in PREPARED-STATEMENT
     caching: the built DataFrame — the analyzed logical plan, no data —
@@ -83,7 +133,16 @@ def query(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        use_fn = fn
+        from functools import wraps as _wraps
+
+        @_wraps(fn)
+        def confed(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
+            # Always runs — a query with no overrides still restores the
+            # previous query's, which is what scopes them.
+            _apply_session_confs(spark, session_confs)
+            return fn(spark, sf_dir, **kwargs)
+
+        use_fn = confed
         if memo_plan and not ({"streaming", "iterative"} & set(tags)):
             import os as _os
             from functools import wraps
@@ -106,18 +165,21 @@ def query(
                 # kwarg-built plan must never be served to, or read
                 # from, the default-call cache.
                 if kwargs or not PLAN_MEMO_ENABLED:
-                    return fn(spark, sf_dir, **kwargs)
+                    return confed(spark, sf_dir, **kwargs)
                 key = (
                     spark.sparkContext.applicationId,
                     _os.path.abspath(sf_dir),
                 )
                 df = plans.get(key)
                 if df is None:
-                    df = fn(spark, sf_dir)
+                    df = confed(spark, sf_dir)
                     plans[key] = df
                     while len(plans) > 4:
                         plans.popitem(last=False)
                 else:
+                    # Cache hit skips the build, but the conf scope must
+                    # still roll over to THIS query's declared state.
+                    _apply_session_confs(spark, session_confs)
                     plans.move_to_end(key)
                 return df
 
@@ -179,6 +241,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline,
         relational,
         similarity,
+        stats,
         streaming_q,
         text,
         timeseries,
