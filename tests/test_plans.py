@@ -383,6 +383,11 @@ def test_single_task_sorts_confined_to_allowlist(spark, qs):
         # percentile cutoffs — rides the size-gated percentile
         # operator, never a global row sort.
         "q_revenue_concentration": "window over <=10-row decile table",
+        # Normalizing windows over POST-AGGREGATION cell tables bounded
+        # by construction: <=168 (dow, hour) calendar cells / <=9 first
+        # digits — never raw rows at any data scale.
+        "q_hourofweek_profile": "window over <=168-row calendar cells",
+        "q_benford_digits": "window over <=9-row digit table",
     }
 
     def single_task_data_ops(plan: str) -> bool:
