@@ -117,12 +117,22 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dfx") < 0, -F.col("dfx")).otherwise(F.lit(0))
         ).over(w).alias("sl"),
     )
-    rsi = F.lit(100.0) * (
-        F.col("sg").cast("double") / (F.col("sg") + F.col("sl")).cast("double")
+    # The division MUST live inside when(): a bare `sg/(sg+sl)` guarded
+    # only by a `sg+sl > 0` conjunct is NOT ANSI-safe — whole-stage
+    # codegen hoists the division as a common subexpression of the
+    # predicate and evaluates it before the conjunct short-circuits,
+    # throwing DIVIDE_BY_ZERO on an all-flat window (hit at sf0.01 under
+    # Spark 4's default ANSI mode). when() branches are guaranteed lazy.
+    rsi = F.when(
+        F.col("sg") + F.col("sl") > 0,
+        F.lit(100.0)
+        * (
+            F.col("sg").cast("double")
+            / (F.col("sg") + F.col("sl")).cast("double")
+        ),
     )
     return rolled.filter(
         (F.col("n_delta") == 14)
-        & (F.col("sg") + F.col("sl") > 0)
         & ((rsi >= 70) | (rsi <= 30))
     ).select("user_id", "ts_us", "value", rsi.alias("rsi"))
 

@@ -448,12 +448,23 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     na, nb = F.col("na"), F.col("nb")
     ma = F.col("sxa").cast("double") / F.lit(1_000_000.0) / na
     mb = F.col("sxb").cast("double") / F.lit(1_000_000.0) / nb
-    va = (
-        F.col("sxxa").cast("double") / F.lit(1_000_000.0) / na - ma * ma
-    ) * na / (na - 1)
-    vb = (
-        F.col("sxxb").cast("double") / F.lit(1_000_000.0) / nb - mb * mb
-    ) * nb / (nb - 1)
+    # The (n-1) divisions live inside when(): Catalyst merges the
+    # na/nb >= 2 filter with downstream predicates, and under ANSI a
+    # hoisted common subexpression would hit DIVIDE_BY_ZERO on an n=1
+    # group before the conjunct short-circuits (same hazard q_rsi hit;
+    # when() branches are guaranteed lazy).
+    va = F.when(
+        na >= 2,
+        (
+            F.col("sxxa").cast("double") / F.lit(1_000_000.0) / na - ma * ma
+        ) * na / (na - 1),
+    )
+    vb = F.when(
+        nb >= 2,
+        (
+            F.col("sxxb").cast("double") / F.lit(1_000_000.0) / nb - mb * mb
+        ) * nb / (nb - 1),
+    )
     m = s.filter((na >= 2) & (nb >= 2)).select(
         "user_id", "na", "nb",
         ma.alias("ma"), mb.alias("mb"), va.alias("va"), vb.alias("vb"),
