@@ -133,14 +133,22 @@ def query(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        from functools import wraps as _wraps
 
-        @_wraps(fn)
         def confed(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
             # Always runs — a query with no overrides still restores the
             # previous query's, which is what scopes them.
             _apply_session_confs(spark, session_confs)
             return fn(spark, sf_dir, **kwargs)
+
+        # Copy identity by hand, NOT functools.wraps: wraps() sets
+        # ``__wrapped__``, which the memo-guard test (and any reader)
+        # treats as "this function is a plan memo". The conf scope
+        # re-executes ``fn`` on every call — only ``prepared`` below may
+        # carry the memo marker.
+        confed.__name__ = fn.__name__
+        confed.__qualname__ = fn.__qualname__
+        confed.__doc__ = fn.__doc__
+        confed.__module__ = fn.__module__
 
         use_fn = confed
         if memo_plan and not ({"streaming", "iterative"} & set(tags)):
