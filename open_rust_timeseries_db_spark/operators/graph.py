@@ -59,12 +59,20 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 50,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """(node, label): label = min node id in the connected component.
 
     ``nodes`` must contain every vertex (isolated vertices become their
     own singleton component); ``edges`` is undirected (each row one
     pair, either orientation).
+
+    ``with_sizes`` adds a ``cluster_size`` column (component member
+    count, singletons = 1). On the driver union-find path the sizes
+    are a free driver-side Counter over labels the collect already
+    holds — consumers skip the groupBy(label) + re-join exchange they
+    would otherwise pay; on the propagation path it is one bounded
+    label-table aggregation + same-keyed join.
     """
     adj = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -73,7 +81,7 @@ def connected_components(
     )
     n_edges = adj.count()
     if n_edges <= DRIVER_CC_MAX_EDGES:
-        return _driver_union_find(nodes, adj, node_col)
+        return _driver_union_find(nodes, adj, node_col, with_sizes)
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=True)
@@ -101,11 +109,21 @@ def connected_components(
     # Pre-partition the loop-invariant adjacency on its join key once,
     # so every round's neighbor join reads it co-partitioned.
     adj = adj.repartition(iter_parts, "src").localCheckpoint(eager=True)
-    return _propagate_to_fixpoint(adj, labels, max_iter, iter_parts)
+    labels = _propagate_to_fixpoint(adj, labels, max_iter, iter_parts)
+    if not with_sizes:
+        return labels
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    # Same key as the propagation's final groupBy("node")? No — keyed
+    # by label, one bounded exchange over the label table only.
+    return labels.join(sizes, "label").select(
+        "node", "label", "cluster_size"
+    )
 
 
 def _driver_union_find(
-    nodes: DataFrame, adj: DataFrame, node_col: str
+    nodes: DataFrame, adj: DataFrame, node_col: str, with_sizes: bool = False
 ) -> DataFrame:
     """Small-graph fast path: union-find over the collected edge list,
     labels shipped back as a broadcast map onto the (distributed) node
@@ -115,6 +133,13 @@ def _driver_union_find(
     itself stays distributed, and untouched nodes become singleton
     components via the coalesce. Labels are the component-min node id,
     identical to the propagation fixpoint.
+
+    The edge list arrives as ONE Arrow batch per partition
+    (``toPandas``), not a row iterator: at the 5M-edge cutover cap the
+    frame is ~80 MB of id pairs — the same budget the cutover already
+    assumes — while the Row-object path paid ~8 µs of py4j/Row overhead
+    PER EDGE (measured 2.3 s of the cluster query's 4.3 s warm at 258k
+    edges; the Arrow transfer + plain-int loop is ~0.25 s).
     """
     parent: dict[int, int] = {}
 
@@ -126,8 +151,8 @@ def _driver_union_find(
             parent[x], x = root, parent[x]
         return root
 
-    for row in adj.toLocalIterator():
-        a, b = row["src"], row["dst"]
+    pdf = adj.toPandas()
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -141,11 +166,35 @@ def _driver_union_find(
 
     mapping = [(n, find(n)) for n in parent]
     spark = nodes.sparkSession
-    lab_df = spark.createDataFrame(mapping, schema="node bigint, _lab bigint")
+    if not with_sizes:
+        lab_df = spark.createDataFrame(
+            mapping, schema="node bigint, _lab bigint"
+        )
+        return (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(F.broadcast(lab_df), "node", "left")
+            .select("node", F.coalesce("_lab", F.col("node")).alias("label"))
+        )
+    # Component sizes are already on the driver: a Counter over the
+    # final labels. Shipping (node, label, size) rows makes the whole
+    # consumer plan ONE broadcast join — no groupBy(label) exchange, no
+    # label-keyed re-join. Singletons (nodes touching no edge) take the
+    # coalesce defaults: label = node, size = 1.
+    from collections import Counter
+
+    label_counts = Counter(lab for _, lab in mapping)
+    sized = [(n, lab, label_counts[lab]) for n, lab in mapping]
+    lab_df = spark.createDataFrame(
+        sized, schema="node bigint, _lab bigint, _sz bigint"
+    )
     return (
         nodes.select(F.col(node_col).alias("node"))
         .join(F.broadcast(lab_df), "node", "left")
-        .select("node", F.coalesce("_lab", F.col("node")).alias("label"))
+        .select(
+            "node",
+            F.coalesce("_lab", F.col("node")).alias("label"),
+            F.coalesce("_sz", F.lit(1)).cast("bigint").alias("cluster_size"),
+        )
     )
 
 

@@ -280,11 +280,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         grouped=simhash_grouped_ckpt(docs),
     )
+    # with_sizes: the union-find already holds every component's member
+    # count on the driver, so the size column ships inside the same
+    # broadcast map — the old groupBy(label) + label-keyed re-join
+    # (an exchange + SMJ over the full node set) disappears from the
+    # plan; the output is ONE broadcast join over the corpus scan.
     comp = connected_components(
-        docs.select(F.col("doc_id").alias("node")), pairs.select("a", "b")
+        docs.select(F.col("doc_id").alias("node")),
+        pairs.select("a", "b"),
+        with_sizes=True,
     )
-    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return comp.join(sizes, "label").select(
+    return comp.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         "cluster_size",
