@@ -26,7 +26,7 @@ in-memory budget.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from open_rust_timeseries_db_spark.queries.helpers import (
@@ -335,31 +335,87 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "anomaly", "percentile"),
 )
 def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from open_rust_timeseries_db_spark.operators.percentiles import (
-        nearest_rank_percentiles_by,
-    )
-
+    # Fused med+MAD selection on ONE value histogram. The naive shape
+    # (two nearest_rank_percentiles_by passes + two broadcast joins)
+    # paid 4 exchanges, 2 broadcast builds and 3 corpus scans; but the
+    # deviation histogram is a pure function of the VALUE histogram
+    # (|v - med| per distinct value, counts summed), so the whole
+    # med -> adev -> MAD chain runs inside one user_id-hash-partitioned
+    # pipeline: groupBy(user_id, value) is the only row-level exchange,
+    # the median attaches via a whole-partition window (no join), the
+    # adev re-group and MAD window are both satisfied by the same
+    # user_id partitioning (grouping on a superset of the partition key
+    # elides the exchange), and one tiny (user_id, med, mad) table
+    # broadcasts back onto the raw scan. Plan: 2 exchanges + 1
+    # broadcast vs 4 + 2 (plans/r12/q_anomaly_mad_*.txt); identical
+    # selections — same histogram algorithm as
+    # operators/percentiles.nearest_rank_percentiles_by, and merging
+    # symmetric values into one adev bucket is exactly what the
+    # per-row grouping did.
     ev = events_us(spark, sf_dir).select(
         "user_id", "ts_us", "value", "event_id"
     )
-    med = nearest_rank_percentiles_by(
-        ev, "user_id", "value", [("med", 0.5)]
-    ).select("user_id", "med")
-    dev = ev.join(F.broadcast(med), "user_id").select(
-        "user_id",
-        "ts_us",
-        "value",
-        "event_id",
-        "med",
-        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    hist = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id", "value")
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
-    mad = nearest_rank_percentiles_by(
-        dev, "user_id", "adev", [("mad", 0.5)]
-    ).select("user_id", "mad")
-    return dev.join(F.broadcast(mad), "user_id").filter(
-        (F.col("mad") > 0)
-        & (F.col("adev") > F.lit(float(_MAD_K)) * F.col("mad"))
-    ).select("user_id", "ts_us", "value", "med", "mad")
+    w_all = Window.partitionBy("user_id")
+
+    def rank_arm(value_col: str) -> Column:
+        r = F.round(F.lit(0.5) * (F.col("__n") - 1)).cast("bigint") + 1
+        return F.max(
+            F.when(
+                (F.col("__cum") - F.col("__c") < r) & (r <= F.col("__cum")),
+                F.col(value_col),
+            )
+        )
+
+    w_v = (
+        Window.partitionBy("user_id")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_v = hist.select(
+        "user_id",
+        "value",
+        "__c",
+        F.sum("__c").over(w_v).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    with_med = cum_v.select(
+        "user_id", "value", "__c", rank_arm("value").over(w_all).alias("med")
+    )
+    ahist = with_med.groupBy(
+        "user_id", F.abs(F.col("value") - F.col("med")).alias("adev")
+    ).agg(F.sum("__c").alias("__c"), F.max("med").alias("med"))
+    w_a = (
+        Window.partitionBy("user_id")
+        .orderBy("adev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_a = ahist.select(
+        "user_id",
+        "adev",
+        "med",
+        "__c",
+        F.sum("__c").over(w_a).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    med_mad = cum_a.groupBy("user_id").agg(
+        F.max("med").alias("med"), rank_arm("adev").alias("mad")
+    )
+    return (
+        ev.join(F.broadcast(med_mad), "user_id")
+        .filter(
+            (F.col("mad") > 0)
+            & (
+                F.abs(F.col("value") - F.col("med"))
+                > F.lit(float(_MAD_K)) * F.col("mad")
+            )
+        )
+        .select("user_id", "ts_us", "value", "med", "mad")
+    )
 
 
 _DECILE_CUTS = [(f"c{i}", i / 10.0) for i in range(1, 10)]
