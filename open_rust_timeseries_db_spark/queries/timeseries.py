@@ -279,8 +279,8 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_us(spark, sf_dir).select(
         "user_id", F.expr(f"ts_us div {_HOUR_US}").alias("bucket_hour"), "value"
     )
-    # The hourly aggregate feeds both the gap-fill join and the spine
-    # derivation; checkpointing the tiny bucketed table (symbols ×
+    # The hourly aggregate feeds both the gap-fill expansion and the
+    # spine bounds; checkpointing the tiny bucketed table (symbols ×
     # occupied buckets) makes the raw tick scan run ONCE.
     hourly = (
         ev.groupBy("user_id", "bucket_hour")
@@ -298,22 +298,62 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = per_user.agg(
         F.min("u_lo").alias("lo"), F.max("u_hi").alias("hi")
     )
-    spine = per_user.crossJoin(F.broadcast(bounds)).select(
+    # INTERVAL-EXPANSION shape (see q_gapfill_interp for the full
+    # rationale): LOCF's carried value for every cell in the half-open
+    # run [obs, next_obs) IS that run's observed value, so one lead()
+    # over the occupied-bucket table + a sequence explode generates the
+    # dense spine pre-filled — no spine-to-hourly join and no
+    # full-spine window sort (the old plan sorted the whole dense spine
+    # once and joined it once; this sorts only the ~9x smaller hourly
+    # table).
+    w_user = Window.partitionBy("user_id").orderBy("bucket_hour")
+    cells = (
+        hourly.select(
+            "user_id",
+            F.col("bucket_hour").alias("prev_b"),
+            F.col("avg_value").alias("prev_v"),
+            F.lead("bucket_hour").over(w_user).alias("next_b"),
+        )
+        .crossJoin(F.broadcast(bounds.select("hi")))
+        .select(
+            "user_id",
+            "prev_b",
+            "prev_v",
+            F.explode(
+                F.sequence(
+                    "prev_b",
+                    F.coalesce(F.col("next_b") - 1, F.col("hi")),
+                )
+            ).alias("bucket_hour"),
+        )
+    )
+    is_obs = F.col("bucket_hour") == F.col("prev_b")
+    body = cells.select(
         "user_id",
-        F.explode(F.sequence("lo", "hi")).alias("bucket_hour"),
+        "bucket_hour",
+        F.when(is_obs, F.col("prev_v")).alias("avg_value"),
+        F.col("prev_v").alias("filled_value"),
     )
-    filled = spine.join(hourly, ["user_id", "bucket_hour"], "left")
-    locf_w = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket_hour")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # Leading gap cells before a symbol's first observation: LOCF has
+    # nothing to carry — both columns NULL, as before.
+    leading = (
+        per_user.crossJoin(F.broadcast(bounds.select("lo")))
+        .filter(F.col("u_lo") > F.col("lo"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("u_lo") - 1)
+            ).alias("bucket_hour"),
+            F.lit(None).cast("double").alias("avg_value"),
+            F.lit(None).cast("double").alias("filled_value"),
+        )
     )
-    return filled.select(
+    return body.unionByName(leading).select(
         "user_id",
         "bucket_hour",
         (F.col("bucket_hour") * _HOUR_US).alias("bucket_start_us"),
         "avg_value",
-        F.last("avg_value", ignorenulls=True).over(locf_w).alias("filled_value"),
+        "filled_value",
         F.when(F.col("avg_value").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
     )
 
@@ -380,6 +420,22 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "gapfill", "interpolate", "window"),
 )
 def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # INTERVAL-EXPANSION shape: the round-11 fix replaced an O(n^2)
+    # shrinking frame with two O(n) growing frames, but both still
+    # sorted the full DENSE spine (symbols x every bucket — 1.08M rows
+    # at sf0.1, ~9% occupied) twice, after building it via a
+    # spine-to-hourly join. Every gap cell's (prev, next) pair is
+    # already determined by its enclosing pair of OBSERVED points, so
+    # compute next via ONE lead() over the hourly table (the ~9x
+    # smaller occupied-bucket set) and EXPLODE each inter-observation
+    # interval into its cells with both endpoints attached — the dense
+    # spine is generated exactly once, pre-labeled, and never sorted or
+    # joined (plans/r12/q_gapfill_interp_*.txt: the two full-spine
+    # Window sorts and the spine join disappear; measured 1.74 s ->
+    # ~0.6 s warm at sf0.1). Same lerp expression on the same (prev_v,
+    # next_v, prev_b, next_b) doubles — bit-identical results; leading
+    # cells (before a symbol's first observation) come from the same
+    # per-symbol bounds cross-join as before.
     ev = events_us(spark, sf_dir).select(
         "user_id", F.expr(f"ts_us div {_HOUR_US}").alias("bucket_hour"), "value"
     )
@@ -394,46 +450,66 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = per_user.agg(
         F.min("u_lo").alias("lo"), F.max("u_hi").alias("hi")
     )
-    spine = per_user.crossJoin(F.broadcast(bounds)).select(
+    w_user = Window.partitionBy("user_id").orderBy("bucket_hour")
+    marked = hourly.select(
         "user_id",
-        F.explode(F.sequence("lo", "hi")).alias("bucket_hour"),
+        F.col("bucket_hour").alias("prev_b"),
+        F.col("avg_value").alias("prev_v"),
+        F.lead("bucket_hour").over(w_user).alias("next_b"),
+        F.lead("avg_value").over(w_user).alias("next_v"),
+    ).crossJoin(F.broadcast(bounds.select("hi")))
+    # Each observed point owns the half-open cell run [prev_b, next_b)
+    # — or [prev_b, hi] for a symbol's last observation (trailing gap
+    # cells, next missing -> interp NULL, exactly the old window's
+    # next_v IS NULL arm).
+    cells = marked.select(
+        "user_id",
+        "prev_b",
+        "prev_v",
+        "next_b",
+        "next_v",
+        F.explode(
+            F.sequence(
+                "prev_b",
+                F.coalesce(F.col("next_b") - 1, F.col("hi")),
+            )
+        ).alias("bucket_hour"),
     )
-    filled = spine.join(hourly, ["user_id", "bucket_hour"], "left")
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket_hour")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    # DESCENDING order + growing frame == "first non-null at or after
-    # this row", evaluated in O(n) running state. The naive ascending
-    # frame rowsBetween(0, unboundedFollowing) is a SHRINKING frame,
-    # which Spark executes by re-aggregating the rest of the partition
-    # for every row — O(n^2) per partition (measured 33.9x the oracle
-    # at sf0.1, 438.8 s at sf1 before this swap).
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("bucket_hour").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    obs_bucket = F.when(F.col("avg_value").isNotNull(), F.col("bucket_hour"))
-    prev_v = F.last("avg_value", ignorenulls=True).over(w_prev)
-    prev_b = F.last(obs_bucket, ignorenulls=True).over(w_prev)
-    next_v = F.last("avg_value", ignorenulls=True).over(w_next)
-    next_b = F.last(obs_bucket, ignorenulls=True).over(w_next)
-    frac = (F.col("bucket_hour") - prev_b).cast("double") / (
-        next_b - prev_b
+    is_obs = F.col("bucket_hour") == F.col("prev_b")
+    frac = (F.col("bucket_hour") - F.col("prev_b")).cast("double") / (
+        F.col("next_b") - F.col("prev_b")
     ).cast("double")
-    interp = (
-        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
-        .when(prev_v.isNull() | next_v.isNull(), F.lit(None))
-        .otherwise(prev_v + (next_v - prev_v) * frac)
+    body = cells.select(
+        "user_id",
+        "bucket_hour",
+        F.when(is_obs, F.col("prev_v")).alias("avg_value"),
+        F.when(is_obs, F.col("prev_v"))
+        .when(F.col("next_v").isNull(), F.lit(None))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+        )
+        .alias("interp_value"),
     )
-    return filled.select(
+    # Leading gap cells: spine positions before the symbol's first
+    # observation — no prev, so both fills are NULL (no extrapolation).
+    leading = (
+        per_user.crossJoin(F.broadcast(bounds.select("lo")))
+        .filter(F.col("u_lo") > F.col("lo"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("u_lo") - 1)
+            ).alias("bucket_hour"),
+            F.lit(None).cast("double").alias("avg_value"),
+            F.lit(None).cast("double").alias("interp_value"),
+        )
+    )
+    return body.unionByName(leading).select(
         "user_id",
         "bucket_hour",
         (F.col("bucket_hour") * _HOUR_US).alias("bucket_start_us"),
         "avg_value",
-        interp.alias("interp_value"),
+        "interp_value",
         F.when(F.col("avg_value").isNull(), 1)
         .otherwise(0)
         .cast("int")
