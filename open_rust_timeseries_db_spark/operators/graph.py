@@ -74,9 +74,26 @@ def connected_components(
     would otherwise pay; on the propagation path it is one bounded
     label-table aggregation + same-keyed join.
     """
+    # Both directions expand from ONE pass over the edge pipeline: the
+    # union-of-two-selects form planned the (possibly expensive)
+    # upstream pair pipeline TWICE inside the checkpoint job — explode
+    # of a 2-struct array emits (a,b) and (b,a) per input row with the
+    # pipeline evaluated once (measured: the adjacency checkpoint job
+    # of the 258k-edge dedup-cluster graph drops ~2x).
     adj = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .localCheckpoint(eager=True)
     )
     n_edges = adj.count()
@@ -164,11 +181,21 @@ def _driver_union_find(
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    mapping = [(n, find(n)) for n in parent]
+    import pandas as _pd
+
+    nodes_arr = list(parent)
+    labs_arr = [find(n) for n in nodes_arr]
     spark = nodes.sparkSession
     if not with_sizes:
+        # pandas frame -> Arrow batch createDataFrame (the session
+        # enables arrow.pyspark); a list-of-tuples frame would pickle
+        # row by row.
         lab_df = spark.createDataFrame(
-            mapping, schema="node bigint, _lab bigint"
+            _pd.DataFrame(
+                {"node": _pd.Series(nodes_arr, dtype="int64"),
+                 "_lab": _pd.Series(labs_arr, dtype="int64")}
+            ),
+            schema="node bigint, _lab bigint",
         )
         return (
             nodes.select(F.col(node_col).alias("node"))
@@ -182,10 +209,18 @@ def _driver_union_find(
     # coalesce defaults: label = node, size = 1.
     from collections import Counter
 
-    label_counts = Counter(lab for _, lab in mapping)
-    sized = [(n, lab, label_counts[lab]) for n, lab in mapping]
+    label_counts = Counter(labs_arr)
     lab_df = spark.createDataFrame(
-        sized, schema="node bigint, _lab bigint, _sz bigint"
+        _pd.DataFrame(
+            {
+                "node": _pd.Series(nodes_arr, dtype="int64"),
+                "_lab": _pd.Series(labs_arr, dtype="int64"),
+                "_sz": _pd.Series(
+                    [label_counts[lab] for lab in labs_arr], dtype="int64"
+                ),
+            }
+        ),
+        schema="node bigint, _lab bigint, _sz bigint",
     )
     return (
         nodes.select(F.col(node_col).alias("node"))

