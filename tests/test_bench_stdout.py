@@ -41,13 +41,41 @@ def test_compact_line_fits_driver_window() -> None:
     assert set(parsed["queries"]) == set(id_names)
 
 
-def test_query_ids_are_stable_sorted_order() -> None:
+def test_query_ids_frozen_in_committed_map() -> None:
+    # Every registered query's id comes verbatim from the committed
+    # append-only map — ids may never shift when queries are added
+    # (round 12: positional ids manufactured 33 phantom regressions in
+    # the driver's round-over-round comparison).
+    import pathlib
+
+    frozen = json.loads(
+        (pathlib.Path(__file__).parent.parent / "bench_query_ids.json")
+        .read_text()
+    )
     timings = _fake_timings()
+    assert set(timings) <= set(frozen), (
+        "new query names must be appended to bench_query_ids.json "
+        f"(missing: {sorted(set(timings) - set(frozen))})"
+    )
     _, id_names = compact_stdout_line(timings, 0.0, 0.0, 0.01, 0.0)
-    expected = {
-        f"q{i + 1}": name for i, name in enumerate(sorted(timings))
-    }
-    assert id_names == expected
+    assert id_names == {frozen[n]: n for n in timings}
+
+
+def test_new_names_append_without_renumbering() -> None:
+    from bench import query_id_map
+
+    timings = _fake_timings()
+    base = query_id_map(timings)
+    grown = dict(timings)
+    grown["q_zzz_hypothetical_future"] = 1.0
+    grown["q_aaa_hypothetical_future"] = 1.0
+    regrown = query_id_map(grown)
+    # Existing names keep their exact ids...
+    assert all(regrown[n] == base[n] for n in timings)
+    # ...and additions land past the frozen maximum, in sorted order.
+    max_id = max(int(q[1:]) for q in base.values())
+    assert regrown["q_aaa_hypothetical_future"] == f"q{max_id + 1}"
+    assert regrown["q_zzz_hypothetical_future"] == f"q{max_id + 2}"
 
 
 def test_headroom_for_registry_growth() -> None:
