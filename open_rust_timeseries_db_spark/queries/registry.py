@@ -235,6 +235,23 @@ def _last_checked_round() -> dict[str, int]:
     return out
 
 
+# Queries REWRITTEN in a round whose driver hash check hasn't happened
+# yet (the 50-query window happened to sample other names that round):
+# they jump the rotation queue — after never-checked queries, before
+# plain least-recently-checked — until a CORRECTNESS row from a round
+# >= the rewrite round lands, then expire back into LRU order. This
+# keeps the "every rewrite earns a driver hash check the next round"
+# invariant without permanently distorting the coverage rotation.
+REWRITE_ROUND = {
+    # round-12 rewrites the r12 window did not sample (q_anomaly_mad,
+    # the fourth r12 rewrite, was sampled and matched that round):
+    "q_gapfill_interp": 12,
+    "q_gapfill_locf": 12,
+    # round-13 rewrite (connectivity-equivalent CC edge set):
+    "q_dedup_clusters": 13,
+}
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Import all query modules and return the registry,
     least-recently-driver-checked first (see rotation note above)."""
@@ -258,5 +275,15 @@ def all_queries() -> dict[str, QuerySpec]:
 
     last = _last_checked_round()
     reg_pos = {n: i for i, n in enumerate(REGISTRY)}
-    names = sorted(REGISTRY, key=lambda n: (last.get(n, -1), reg_pos[n]))
+
+    def rot_key(n: str) -> tuple[int, int]:
+        if n not in last:
+            pri = -2  # never driver-checked: always first
+        elif last[n] < REWRITE_ROUND.get(n, 0):
+            pri = -1  # rewritten since its last check: next in line
+        else:
+            pri = last[n]
+        return (pri, reg_pos[n])
+
+    names = sorted(REGISTRY, key=rot_key)
     return {n: REGISTRY[n] for n in names}

@@ -8,17 +8,41 @@ correctness files.
 from __future__ import annotations
 
 from open_rust_timeseries_db_spark.queries import all_queries
-from open_rust_timeseries_db_spark.queries.registry import _last_checked_round
+from open_rust_timeseries_db_spark.queries.registry import (
+    REWRITE_ROUND,
+    _last_checked_round,
+)
+
+
+def _effective_round(last: dict[str, int], n: str) -> int:
+    if n not in last:
+        return -2
+    if last[n] < REWRITE_ROUND.get(n, 0):
+        return -1  # rewritten since its last driver check
+    return last[n]
 
 
 def test_rotation_orders_least_recently_checked_first():
     last = _last_checked_round()
     names = list(all_queries())
-    rounds = [last.get(n, -1) for n in names]
+    rounds = [_effective_round(last, n) for n in names]
     assert rounds == sorted(rounds), (
-        "registry order must be non-decreasing in last-checked round; "
-        f"got {list(zip(names, rounds))[:10]}..."
+        "registry order must be non-decreasing in effective last-checked "
+        f"round; got {list(zip(names, rounds))[:10]}..."
     )
+
+
+def test_unchecked_rewrites_sit_inside_the_window():
+    # A query rewritten after its last driver hash check must land in
+    # the next round's 50-entry correctness window (until the check
+    # happens, at which point the flag self-expires).
+    last = _last_checked_round()
+    names = list(all_queries())
+    pending = [
+        n for n, rnd in REWRITE_ROUND.items() if last.get(n, -1) < rnd
+    ]
+    for n in pending:
+        assert names.index(n) < 50, f"{n} rewritten but outside the window"
 
 
 def test_never_checked_queries_lead_the_window():
