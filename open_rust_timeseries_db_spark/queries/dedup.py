@@ -24,6 +24,7 @@ from open_rust_timeseries_db_spark.functions.vectors import (
 from open_rust_timeseries_db_spark.operators.dedupe import (
     exact_jaccard,
     minhash_neardup,
+    simhash_connectivity_pairs,
     simhash_pairs,
     simhash_signatures,
 )
@@ -279,6 +280,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # CONNECTIVITY pairs, not the full pair enumeration: components are
+    # identical (same-sig stars + one representative edge per surviving
+    # signature pair — equivalence proven in simhash_connectivity_pairs'
+    # docstring, pinned by test_connectivity_pairs_same_components, and
+    # oracle-hash-checked end to end), while the edge count drops from
+    # O(sum group^2) to O(docs + sig pairs). At sf1 that is 13.1M ->
+    # 112k pairs: the whole distributed label-propagation fixpoint
+    # (32-41 s/pass, interleaved A/B) collapses into the driver
+    # union-find fast path (2.0-3.6 s/pass), outputs bit-identical.
     # Plan-object memo ONLY (persist=False): this query is exempt from
     # the registry's prepared-statement memo because the CC fixpoint
     # runs inside the build — but the banded PAIR PIPELINE PLAN is a
@@ -288,12 +298,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-drains the edges from this plan per invocation.
     pairs = _cached_ckpt(
         docs,
-        lambda: simhash_pairs(
+        lambda: simhash_connectivity_pairs(
             simhash_signatures(docs),
             max_hamming=3,
             grouped=simhash_grouped_ckpt(docs),
         ),
-        ("simhash_pairs_plan", 3),
+        ("simhash_conn_pairs_plan", 3),
         persist=False,
     )
     # with_sizes: the union-find already holds every component's member

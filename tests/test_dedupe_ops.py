@@ -266,3 +266,51 @@ def test_hot_bucket_skew_paths_agree(spark, monkeypatch):
     # hash family) essentially the whole clique.
     hot_near = [r for r in broadcast["near"] if r[0] in hot_ids and r[1] in hot_ids]
     assert len(hot_near) >= int(0.9 * clique)
+
+
+def test_connectivity_pairs_same_components(spark):
+    """simhash_connectivity_pairs must induce EXACTLY the connected
+    components of the full simhash_pairs enumeration (q_dedup_clusters
+    feeds it to connected_components): same-sig stars + one
+    representative edge per surviving signature pair replace the
+    clique/bipartite expansion, and the component labeling — min doc_id
+    per component over all documents — must be identical."""
+    from open_rust_timeseries_db_spark.operators import dedupe as dd
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sigs = dd.simhash_signatures(docs)
+    full = {
+        (r["a"], r["b"])
+        for r in dd.simhash_pairs(sigs, max_hamming=3).select("a", "b").collect()
+    }
+    conn = {
+        (r["a"], r["b"])
+        for r in dd.simhash_connectivity_pairs(sigs, max_hamming=3)
+        .select("a", "b")
+        .collect()
+    }
+    # Subset: every reduced edge is a real qualifying pair.
+    assert conn <= full
+    # The reduction actually reduces on a duplicate-bearing corpus.
+    assert len(conn) < len(full)
+
+    def components(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        for n in all_ids:
+            parent[n] = n
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        return {n: find(n) for n in all_ids}
+
+    assert components(full) == components(conn)
