@@ -306,9 +306,18 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full-spine window sort (the old plan sorted the whole dense spine
     # once and joined it once; this sorts only the ~9x smaller hourly
     # table).
+    # Expansion boundaries are NON-NULL observations only: a bucket
+    # whose avg_value is NULL (every event value NULL that hour) is a
+    # GAP under the oracle's last_value(... IGNORE NULLS) — LOCF
+    # carries the prior value ACROSS it. Treating it as a boundary
+    # would start a run with prev_v NULL and fill the whole interval
+    # NULL. (Latent on shipped tiers, which carry no NULL values; the
+    # nullable events schema + the in-repo oracle define the contract —
+    # pinned by test_gapfill_null_hour_buckets.)
+    obs = hourly.filter(F.col("avg_value").isNotNull())
     w_user = Window.partitionBy("user_id").orderBy("bucket_hour")
     cells = (
-        hourly.select(
+        obs.select(
             "user_id",
             F.col("bucket_hour").alias("prev_b"),
             F.col("avg_value").alias("prev_v"),
@@ -334,15 +343,24 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_obs, F.col("prev_v")).alias("avg_value"),
         F.col("prev_v").alias("filled_value"),
     )
-    # Leading gap cells before a symbol's first observation: LOCF has
-    # nothing to carry — both columns NULL, as before.
+    # Leading gap cells before a symbol's first NON-NULL observation —
+    # or its whole spine when it has none: LOCF has nothing to carry,
+    # both columns NULL.
+    first_obs = obs.groupBy("user_id").agg(
+        F.min("bucket_hour").alias("o_lo")
+    )
     leading = (
-        per_user.crossJoin(F.broadcast(bounds.select("lo")))
-        .filter(F.col("u_lo") > F.col("lo"))
+        per_user.select("user_id")
+        .join(F.broadcast(first_obs), "user_id", "left")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("o_lo").isNull() | (F.col("o_lo") > F.col("lo")))
         .select(
             "user_id",
             F.explode(
-                F.sequence(F.col("lo"), F.col("u_lo") - 1)
+                F.sequence(
+                    F.col("lo"),
+                    F.coalesce(F.col("o_lo") - 1, F.col("hi")),
+                )
             ).alias("bucket_hour"),
             F.lit(None).cast("double").alias("avg_value"),
             F.lit(None).cast("double").alias("filled_value"),
@@ -450,8 +468,13 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = per_user.agg(
         F.min("u_lo").alias("lo"), F.max("u_hi").alias("hi")
     )
+    # NON-NULL observations only, like q_gapfill_locf: a NULL-avg
+    # bucket is a gap the oracle's IGNORE NULLS windows interpolate
+    # ACROSS, not an observation boundary (see the LOCF twin's note;
+    # pinned by test_gapfill_null_hour_buckets).
+    obs = hourly.filter(F.col("avg_value").isNotNull())
     w_user = Window.partitionBy("user_id").orderBy("bucket_hour")
-    marked = hourly.select(
+    marked = obs.select(
         "user_id",
         F.col("bucket_hour").alias("prev_b"),
         F.col("avg_value").alias("prev_v"),
@@ -491,14 +514,23 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("interp_value"),
     )
     # Leading gap cells: spine positions before the symbol's first
-    # observation — no prev, so both fills are NULL (no extrapolation).
+    # NON-NULL observation — or its whole spine when it has none. No
+    # prev, so both fills are NULL (no extrapolation).
+    first_obs = obs.groupBy("user_id").agg(
+        F.min("bucket_hour").alias("o_lo")
+    )
     leading = (
-        per_user.crossJoin(F.broadcast(bounds.select("lo")))
-        .filter(F.col("u_lo") > F.col("lo"))
+        per_user.select("user_id")
+        .join(F.broadcast(first_obs), "user_id", "left")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("o_lo").isNull() | (F.col("o_lo") > F.col("lo")))
         .select(
             "user_id",
             F.explode(
-                F.sequence(F.col("lo"), F.col("u_lo") - 1)
+                F.sequence(
+                    F.col("lo"),
+                    F.coalesce(F.col("o_lo") - 1, F.col("hi")),
+                )
             ).alias("bucket_hour"),
             F.lit(None).cast("double").alias("avg_value"),
             F.lit(None).cast("double").alias("interp_value"),

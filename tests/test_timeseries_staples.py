@@ -225,3 +225,59 @@ def test_max_drawdown_bruteforce(spark):
     assert len(got) == len(expected)
     for dd, n, peak, uid in got:
         assert (n, peak, dd) == expected[uid], uid
+
+
+def test_gapfill_null_hour_buckets(spark, tmp_path_factory):
+    """A bucket whose avg_value is NULL (every event value NULL that
+    hour) is a GAP under the oracle's IGNORE NULLS windows: LOCF must
+    carry the prior value ACROSS it and interp must interpolate across
+    it — not treat it as an observation boundary that NULLs the run.
+    Shipped tiers carry no NULL values, so this pins the latent
+    contract on a synthetic corpus: mid-run NULL hours, a leading NULL
+    hour, a trailing NULL hour, and an all-NULL symbol."""
+    import duckdb
+    import numpy as np
+
+    from open_rust_timeseries_db_spark.queries.timeseries import (
+        q_gapfill_interp,
+        q_gapfill_locf,
+    )
+    from tests.conftest import assert_frames_match
+
+    rows = []  # (user_id, hour, value)
+    rows += [(1, 0, 1.0), (1, 0, 3.0)]   # obs hour 0 (avg 2.0)
+    rows += [(1, 2, None)]               # mid NULL hour
+    rows += [(1, 5, 4.0)]                # obs hour 5
+    rows += [(1, 7, None)]               # trailing NULL hour
+    rows += [(2, 0, None)]               # leading NULL hour
+    rows += [(2, 3, 6.0), (2, 8, 1.0)]   # obs hours 3 and 8
+    rows += [(3, 1, None), (3, 6, None)] # all-NULL symbol
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype="int64"),
+            "ts": pd.to_datetime(
+                [h * 3_600_000_000 for _, h, _ in rows], unit="us"
+            ).astype("datetime64[us]"),
+            "user_id": np.array([u for u, _, _ in rows], dtype="int64"),
+            "event_type": "t",
+            "value": np.array(
+                [v for _, _, v in rows], dtype="float64"
+            ),
+            "props": "{}",
+        }
+    )
+    d = tmp_path_factory.mktemp("nullhours")
+    pdf.to_parquet(d / "events.parquet", index=False)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    try:
+        for spec_fn, name in (
+            (q_gapfill_locf, "q_gapfill_locf"),
+            (q_gapfill_interp, "q_gapfill_interp"),
+        ):
+            got = spec_fn(spark, str(d)).toPandas()
+            want = con.sql(all_queries()[name].oracle).df()
+            assert_frames_match(got, want, name=f"{name}-nullhours")
+    finally:
+        con.close()
