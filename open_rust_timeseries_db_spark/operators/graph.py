@@ -65,7 +65,14 @@ def connected_components(
 
     ``nodes`` must contain every vertex (isolated vertices become their
     own singleton component); ``edges`` is undirected (each row one
-    pair, either orientation).
+    pair, either orientation). Edge endpoints MUST be a subset of
+    ``nodes``: a phantom endpoint would be silently dropped from the
+    output either way (both paths attach labels by joining onto
+    ``nodes``), but under ``with_sizes`` the two paths would disagree
+    on its component's size — the driver union-find counts labels over
+    edge endpoints (the collect it already holds), while the
+    propagation path counts the label table built from ``nodes``. All
+    in-repo callers derive edges from the node set itself.
 
     ``with_sizes`` adds a ``cluster_size`` column (component member
     count, singletons = 1). On the driver union-find path the sizes

@@ -633,11 +633,24 @@ def compact_chunks(
         return {entry: result}
     # FIFO scheduling back-fills naturally; 8 in flight is enough to
     # hide each job's scheduling floor without thrashing the scheduler.
-    from concurrent.futures import ThreadPoolExecutor
+    # Futures are drained individually (not pool.map) so one failed
+    # chunk doesn't discard the results of chunks whose atomic swaps
+    # already completed: the caller learns exactly which chunks were
+    # rewritten via the exception's .partial attribute.
+    from concurrent.futures import ThreadPoolExecutor, as_completed
 
+    failures: list[BaseException] = []
     with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
-        for entry, result in pool.map(
-            lambda args: compact_one(*args), todo
-        ):
-            done[entry] = result
+        futures = [pool.submit(compact_one, *args) for args in todo]
+        for fut in as_completed(futures):
+            try:
+                entry, result = fut.result()
+            except BaseException as exc:  # noqa: BLE001 - re-raised below
+                failures.append(exc)
+            else:
+                done[entry] = result
+    if failures:
+        err = failures[0]
+        err.partial = dict(done)  # type: ignore[attr-defined]
+        raise err
     return done

@@ -151,17 +151,18 @@ def test_python_confined_to_designated_operators(spark, qs):
         df = spec.fn(spark, SF_DIR)
         if name in allowed:
             # A kernel behind the session cache shows as an
-            # InMemoryTableScan (persist), an ExistingRDD scan
-            # (localCheckpoint / pickled createDataFrame), or a
-            # LocalTableScan (Arrow createDataFrame of the driver-side
-            # union-find labels, q_dedup_clusters) — not an InPandas
-            # node.
+            # InMemoryTableScan (persist) or an ExistingRDD scan
+            # (localCheckpoint / pickled createDataFrame) — not an
+            # InPandas node. LocalTableScan (Arrow createDataFrame of
+            # the driver-side union-find labels) is accepted ONLY for
+            # q_dedup_clusters: anywhere else a tiny local relation in
+            # the plan would satisfy the guard vacuously.
             plan = plan_string(df, "simple")
             assert (
                 has_python_eval(df)
                 or "InMemoryTableScan" in plan
                 or "ExistingRDD" in plan
-                or "LocalTableScan" in plan
+                or (name == "q_dedup_clusters" and "LocalTableScan" in plan)
             ), f"{name} should use the Arrow path"
         else:
             assert not has_python_eval(df), f"{name} unexpectedly runs Python"
